@@ -115,9 +115,16 @@ def matrix_to_quat(R):
     return quat_normalize(q)
 
 
+def _safe_norm(x, axis=-1, keepdims=True):
+    """Norm whose derivative is finite at x == 0 (sqrt clamped away from 0,
+    so autodiff through the zero-rotation point yields 0 instead of NaN)."""
+    n2 = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+    return jnp.sqrt(jnp.maximum(n2, jnp.asarray(1e-24, x.dtype)))
+
+
 def quat_exp(w):
     """so(3) tangent (..., 3) -> unit quaternion (..., 4)."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
+    theta = _safe_norm(w)
     half = 0.5 * theta
     small = theta < 1e-6
     sinc = jnp.where(small, 0.5 - theta**2 / 48.0, jnp.sin(half) / jnp.maximum(theta, 1e-24))
@@ -130,7 +137,7 @@ def quat_log(q):
     q = quat_normalize(q)
     w = q[..., :1]
     v = q[..., 1:]
-    vn = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    vn = _safe_norm(v)
     theta = 2.0 * jnp.arctan2(vn, w)
     small = vn < 1e-9
     scale = jnp.where(small, 2.0 / jnp.maximum(w, 1e-12), theta / jnp.maximum(vn, 1e-24))
@@ -156,7 +163,7 @@ def so3_log_matrix(R):
 
 def so3_left_jacobian(w):
     """Left Jacobian of SO(3): J_l(w), (..., 3, 3)."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]
+    theta = _safe_norm(w)[..., None]
     W = so3_hat(w)
     W2 = W @ W
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
