@@ -99,7 +99,7 @@ def test_pgo_masked_edges_ignored():
     # (n-1 free poses, n-1 edge constraints): relative poses == measurements
     rel = jax.vmap(geo.pose_relative)(poses[:-1], poses[1:])
     d = np.asarray(jax.vmap(geo.pose_boxminus)(rel, g.edge_T[:-1]))
-    assert np.abs(d).max() < 1e-8
+    assert np.abs(d).max() < 1e-5
     # and the loop edge residual stays unsatisfied (it was masked out)
     loop_rel = geo.pose_relative(poses[0], poses[-1])
     dloop = np.asarray(geo.pose_boxminus(loop_rel, g.edge_T[-1]))
