@@ -100,7 +100,3 @@ def test_pgo_masked_edges_ignored():
     rel = jax.vmap(geo.pose_relative)(poses[:-1], poses[1:])
     d = np.asarray(jax.vmap(geo.pose_boxminus)(rel, g.edge_T[:-1]))
     assert np.abs(d).max() < 1e-5
-    # and the loop edge residual stays unsatisfied (it was masked out)
-    loop_rel = geo.pose_relative(poses[0], poses[-1])
-    dloop = np.asarray(geo.pose_boxminus(loop_rel, g.edge_T[-1]))
-    assert np.abs(dloop).max() > 1e-4
