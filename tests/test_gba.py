@@ -1,0 +1,156 @@
+"""Global VI bundle adjustment tests on synthetic data."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from covins_tpu.ops import gba, imu as imu_mod
+from covins_tpu.utils import cameras as cam_mod
+from covins_tpu.utils import geometry as geo, synthetic
+
+
+def _build_problem(
+    n_kf=12, n_lm=150, px_noise=0.3, perturb=True, seed=0, dtype=jnp.float64
+):
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    traj = synthetic.generate(n_keyframes=n_kf, kf_dt=0.5)
+    lms_gt = synthetic.generate_landmarks(k1, n=n_lm)
+    # forward-looking camera: optical axis = body x (camera z -> body x)
+    R_s_c = jnp.asarray(
+        [[0.0, 0.0, 1.0], [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]], dtype
+    )
+    T_s_c = geo.pose_from_qt(geo.matrix_to_quat(R_s_c), jnp.zeros(3, dtype))
+    cam = cam_mod.make_pinhole_radtan(
+        458.0, 457.0, 376.0, 240.0, [0.0] * 4, T_s_c=T_s_c
+    )
+
+    # observations: project GT landmarks into GT keyframes (full chain
+    # world -> body -> camera, same as the reprojection residual)
+    obs_kf, obs_lm, obs_uv = [], [], []
+    for k in range(n_kf):
+        T_w_c = geo.pose_compose(traj.poses[k], cam.T_s_c)
+        p_c = geo.pose_apply(geo.pose_inverse(T_w_c)[None], lms_gt)
+        uv, valid = cam_mod.project3(cam, p_c)
+        inb = (
+            np.asarray(valid)
+            & (np.asarray(p_c[:, 2]) > 0.3)
+            & (np.asarray(uv[:, 0]) > 0) & (np.asarray(uv[:, 0]) < 752)
+            & (np.asarray(uv[:, 1]) > 0) & (np.asarray(uv[:, 1]) < 480)
+        )
+        for li in np.where(inb)[0]:
+            obs_kf.append(k)
+            obs_lm.append(int(li))
+            obs_uv.append(np.asarray(uv[li]))
+    obs_kf = jnp.asarray(obs_kf, jnp.int32)
+    obs_lm = jnp.asarray(obs_lm, jnp.int32)
+    obs_uv = jnp.asarray(np.stack(obs_uv), dtype)
+    obs_uv = obs_uv + px_noise * jax.random.normal(k2, obs_uv.shape, dtype)
+
+    # keep only landmarks with >= 2 observations
+    counts = np.bincount(np.asarray(obs_lm), minlength=n_lm)
+    lm_mask = jnp.asarray(counts >= 2)
+
+    # IMU factors between consecutive KFs (exact synthetic IMU)
+    noise = imu_mod.default_noise()
+    bg = ba = jnp.zeros(3, dtype)
+    pre = jax.vmap(lambda a, g, d, m: imu_mod.preintegrate(a, g, d, m, bg, ba, noise))(
+        traj.imu_acc, traj.imu_gyro, traj.imu_dts, traj.imu_mask
+    )
+    imu_sqrt = gba.imu_sqrt_info_from_cov(pre.cov)
+    bias_sqrt = gba.bias_walk_sqrt_info(noise, pre.dt)
+
+    poses, vels = traj.poses, traj.vels
+    biases = jnp.zeros((n_kf, 6), dtype)
+    lms = lms_gt
+    if perturb:
+        poses = geo.pose_boxplus(
+            poses,
+            jax.random.normal(k3, (n_kf, 6), dtype)
+            * jnp.asarray([0.01] * 3 + [0.05] * 3)
+            * (jnp.arange(n_kf) > 0)[:, None],
+        )
+        lms = lms + 0.05 * jax.random.normal(k4, lms.shape, dtype)
+        vels = vels + 0.05 * jax.random.normal(k2, vels.shape, dtype)
+
+    p = gba.GBAProblem(
+        poses=poses, vels=vels, biases=biases,
+        kf_mask=jnp.ones(n_kf, bool),
+        kf_fixed=jnp.zeros(n_kf, bool).at[0].set(True),
+        cam=cam,
+        lms=lms, lm_mask=lm_mask,
+        obs_kf=obs_kf, obs_lm=obs_lm, obs_uv=obs_uv,
+        obs_w=jnp.full(obs_kf.shape, 0.5, dtype),  # octave 0: sigma=2px
+        obs_mask=jnp.ones(obs_kf.shape, bool),
+        imu_i=jnp.arange(n_kf - 1, dtype=jnp.int32),
+        imu_j=jnp.arange(1, n_kf, dtype=jnp.int32),
+        imu_pre=pre,
+        imu_sqrt_info=imu_sqrt, bias_sqrt_info=bias_sqrt,
+        imu_mask=jnp.ones(n_kf - 1, bool),
+        gravity=jnp.asarray([0.0, 0.0, -imu_mod.GRAVITY], dtype),
+        loop_i=jnp.zeros(1, jnp.int32), loop_j=jnp.zeros(1, jnp.int32),
+        loop_T=geo.pose_identity(dtype)[None],
+        loop_sqrt_info=jnp.zeros((1, 6, 6), dtype),
+        loop_mask=jnp.zeros(1, bool),
+    )
+    return p, traj, lms_gt
+
+
+def _pose_ate(poses, gt_poses):
+    rmse, _ = geo.ate_rmse(poses[:, 4:7], gt_poses[:, 4:7], align_scale=False)
+    return float(rmse)
+
+
+def test_gba_converges_from_perturbation():
+    p, traj, lms_gt = _build_problem()
+    ate0 = _pose_ate(p.poses, traj.poses)
+    p2, info = gba.global_bundle_adjustment(
+        p, n_gn=8, n_cg=50, outlier_removal=False
+    )
+    ate1 = _pose_ate(p2.poses, traj.poses)
+    assert ate0 > 0.02
+    assert ate1 < 0.25 * ate0, (ate0, ate1)
+    # costs decrease monotonically (accept-guarded)
+    c = np.asarray(info["costs"])
+    assert (np.diff(c) <= 1e-9).all()
+
+
+def test_gba_visual_only():
+    p, traj, lms_gt = _build_problem()
+    p2, info = gba.global_bundle_adjustment(
+        p, n_gn=8, n_cg=50, visual_only=True, outlier_removal=False
+    )
+    # visual-only: monocular gauge leaves scale free -> compare with Sim(3)
+    rmse, _ = geo.ate_rmse(p2.poses[:, 4:7], traj.poses[:, 4:7], align_scale=True)
+    assert float(rmse) < _pose_ate(p.poses, traj.poses)
+
+
+def test_gba_outlier_pruning():
+    p, traj, lms_gt = _build_problem(px_noise=0.2)
+    # corrupt 5% of observations by 30 px
+    n_obs = p.obs_uv.shape[0]
+    n_bad = n_obs // 20
+    key = jax.random.PRNGKey(42)
+    bad_uv = p.obs_uv.at[:n_bad].add(
+        30.0 * jax.random.normal(key, (n_bad, 2), p.obs_uv.dtype)
+    )
+    p = dataclasses.replace(p, obs_uv=bad_uv)
+    p2, info = gba.global_bundle_adjustment(
+        p, n_gn=6, n_cg=50, outlier_removal=True, th_outlier=4.0
+    )
+    assert info["n_pruned"] >= int(0.7 * n_bad)
+    assert _pose_ate(p2.poses, traj.poses) < 0.02
+
+
+def test_gba_respects_fixed_and_masks():
+    p, traj, _ = _build_problem()
+    p2, _ = gba.global_bundle_adjustment(p, n_gn=3, n_cg=30, outlier_removal=False)
+    np.testing.assert_allclose(np.asarray(p2.poses[0]), np.asarray(p.poses[0]), atol=1e-12)
+    # masked landmarks unchanged
+    dead = ~np.asarray(p.lm_mask)
+    if dead.any():
+        np.testing.assert_allclose(
+            np.asarray(p2.lms)[dead], np.asarray(p.lms)[dead], atol=1e-12
+        )
