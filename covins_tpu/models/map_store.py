@@ -1,0 +1,858 @@
+"""Structure-of-arrays map store — the server's central data structure.
+
+TPU-native re-design of the reference's pointer-graph map
+(`covins_backend/src/covins_backend/map_be.cpp`, `keyframe_be.cpp`,
+`landmark_be.cpp`): one `Map` object per agent (merged maps span agents),
+holding keyframes, landmarks and the observation graph as flat
+capacity-doubling arrays.  A keyframe/landmark IS a row index; erasure is
+a mask flip; merge is concat + rigid transform
+(`Map::Map(map_target, map_tofuse, T_wtofuse_wtarget)`, `map_be.cpp:334-381`);
+covisibility is recomputed in batch from the observation COO instead of
+being maintained under locks (`map_be.cpp:924-942`).
+
+Host numpy owns the mutable bookkeeping (id maps, append cursors); the
+compute-heavy consumers (place recognition, PGO, GBA) take device
+snapshots built by `to_pose_graph()` / `to_gba_problem()` /
+`retrieval_arrays()`.  This mirrors the survey's design stance: functional
+core, small imperative shell — the checkout/return mutex protocol of the
+reference (`map_be.cpp:78-167`) becomes snapshot-and-swap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from covins_tpu.comm import messages as msgs
+from covins_tpu.utils import geometry as geo
+
+IdPair = Tuple[int, int]
+
+
+def _np_pose_compose(p1, p2):
+    return np.asarray(geo.pose_compose(p1, p2))
+
+
+def _np_pose_inverse(p):
+    return np.asarray(geo.pose_inverse(p))
+
+
+def _grow(arr: np.ndarray, new_cap: int) -> np.ndarray:
+    out = np.zeros((new_cap,) + arr.shape[1:], arr.dtype)
+    out[: arr.shape[0]] = arr
+    return out
+
+
+class Map:
+    """One collaborative map (single agent initially; grows by merging)."""
+
+    def __init__(
+        self,
+        map_id: int,
+        max_features: int = 1024,
+        desc_bytes: int = 32,
+        kf_capacity: int = 256,
+        lm_capacity: int = 4096,
+        obs_capacity: int = 16384,
+    ):
+        self.id = map_id
+        self.associated_clients: set[int] = set()
+        self.max_features = max_features
+        self.desc_bytes = desc_bytes
+
+        # --- keyframe SoA ---------------------------------------------------
+        k = kf_capacity
+        f = max_features
+        self.n_kf = 0
+        self.kf_ids = np.full((k, 2), -1, np.int64)  # (kf_id, client_id)
+        self.kf_stamp = np.zeros(k, np.float64)
+        self.kf_pose = np.zeros((k, 7), np.float64)  # T_w_s
+        self.kf_pose_vio = np.zeros((k, 7), np.float64)
+        self.kf_vel = np.zeros((k, 3), np.float64)
+        self.kf_bias = np.zeros((k, 6), np.float64)  # [bg, ba]
+        self.kf_pred = np.full(k, -1, np.int32)
+        self.kf_succ = np.full(k, -1, np.int32)
+        self.kf_mask = np.zeros(k, bool)
+        self.kf_is_loop = np.zeros(k, bool)
+        self.kf_pose_optimized = np.zeros(k, bool)
+        self.kf_n_feat = np.zeros(k, np.int32)
+        self.kp_uv = np.zeros((k, f, 2), np.float32)
+        self.kp_undist = np.zeros((k, f, 2), np.float32)
+        self.kp_aors = np.zeros((k, f, 4), np.float32)
+        self.descriptors = np.zeros((k, f, desc_bytes), np.uint8)
+        self.kf_feat_lm = np.full((k, f), -1, np.int32)  # feature -> lm row
+        # IMU raw samples (padded per KF window) for re-propagation
+        self.imu_max_samples = 256
+        self.imu_acc = np.zeros((k, self.imu_max_samples, 3), np.float64)
+        self.imu_gyro = np.zeros((k, self.imu_max_samples, 3), np.float64)
+        self.imu_dts = np.zeros((k, self.imu_max_samples), np.float64)
+        self.imu_n = np.zeros(k, np.int32)
+        self.calib: Dict[int, msgs.VICalibration] = {}  # per client
+
+        # --- landmark SoA ---------------------------------------------------
+        m = lm_capacity
+        self.n_lm = 0
+        self.lm_ids = np.full((m, 2), -1, np.int64)  # (lm_id, client_id)
+        self.lm_pos = np.zeros((m, 3), np.float64)  # world frame
+        self.lm_ref = np.full(m, -1, np.int32)  # reference KF row
+        self.lm_mask = np.zeros(m, bool)
+        self.lm_desc = np.zeros((m, desc_bytes), np.uint8)
+        self.lm_normal = np.zeros((m, 3), np.float64)
+        self.lm_first_kf = np.full(m, -1, np.int32)
+
+        # --- observation COO -------------------------------------------------
+        o = obs_capacity
+        self.n_obs = 0
+        self.obs_kf = np.zeros(o, np.int32)
+        self.obs_lm = np.zeros(o, np.int32)
+        self.obs_feat = np.zeros(o, np.int32)
+        self.obs_mask = np.zeros(o, bool)
+
+        # --- loop constraints -------------------------------------------------
+        self.loops: list[dict] = []  # {kf1, kf2, T_12, cov}
+
+        # id lookup
+        self._kf_index: Dict[IdPair, int] = {}
+        self._lm_index: Dict[IdPair, int] = {}
+
+    # ------------------------------------------------------------------ util
+    def kf_row(self, idpair: IdPair) -> int:
+        return self._kf_index.get(tuple(idpair), -1)
+
+    def lm_row(self, idpair: IdPair) -> int:
+        return self._lm_index.get(tuple(idpair), -1)
+
+    def _ensure_kf(self, n):
+        cap = self.kf_ids.shape[0]
+        if n <= cap:
+            return
+        new = max(2 * cap, n)
+        for name in (
+            "kf_ids", "kf_stamp", "kf_pose", "kf_pose_vio", "kf_vel",
+            "kf_bias", "kf_pred", "kf_succ", "kf_mask", "kf_is_loop",
+            "kf_pose_optimized", "kf_n_feat", "kp_uv", "kp_undist",
+            "kp_aors", "descriptors", "kf_feat_lm", "imu_acc", "imu_gyro",
+            "imu_dts", "imu_n",
+        ):
+            setattr(self, name, _grow(getattr(self, name), new))
+        self.kf_ids[self.n_kf:] = -1
+        self.kf_pred[self.n_kf:] = -1
+        self.kf_succ[self.n_kf:] = -1
+        self.kf_feat_lm[self.n_kf:] = -1
+
+    def _ensure_lm(self, n):
+        cap = self.lm_ids.shape[0]
+        if n <= cap:
+            return
+        new = max(2 * cap, n)
+        for name in (
+            "lm_ids", "lm_pos", "lm_ref", "lm_mask", "lm_desc", "lm_normal",
+            "lm_first_kf",
+        ):
+            setattr(self, name, _grow(getattr(self, name), new))
+        self.lm_ids[self.n_lm:] = -1
+        self.lm_ref[self.n_lm:] = -1
+        self.lm_first_kf[self.n_lm:] = -1
+
+    def _ensure_obs(self, n):
+        cap = self.obs_kf.shape[0]
+        if n <= cap:
+            return
+        new = max(2 * cap, n)
+        for name in ("obs_kf", "obs_lm", "obs_feat", "obs_mask"):
+            setattr(self, name, _grow(getattr(self, name), new))
+
+    # --------------------------------------------------------------- ingest
+    def add_keyframe(self, msg: msgs.MsgKeyframe) -> int:
+        """Construct a keyframe row from a message (`Keyframe(msg, map, voc)`
+        semantics, `keyframe_be.cpp:42-226`): resolve the relative pose
+        against the reference KF, store features/descriptors/IMU samples,
+        wire predecessor/successor."""
+        key = tuple(msg.id)
+        if key in self._kf_index:
+            raise ValueError(f"duplicate keyframe id {key}")
+        row = self.n_kf
+        self._ensure_kf(row + 1)
+        kf_id, client_id = msg.id
+        self.kf_ids[row] = (kf_id, client_id)
+        self.kf_stamp[row] = msg.timestamp
+        self.associated_clients.add(client_id)
+        if msg.calibration is not None and client_id not in self.calib:
+            self.calib[client_id] = msg.calibration
+
+        nf = min(len(msg.keypoints), self.max_features)
+        self.kf_n_feat[row] = nf
+        self.kp_uv[row, :nf] = msg.keypoints[:nf]
+        und = msg.keypoints_undist if msg.keypoints_undist is not None else msg.keypoints
+        self.kp_undist[row, :nf] = und[:nf]
+        if msg.keypoints_aors is not None:
+            self.kp_aors[row, :nf] = msg.keypoints_aors[:nf]
+        self.descriptors[row, :nf] = msg.descriptors[:nf, : self.desc_bytes]
+
+        # pose: compose relative pose onto reference KF
+        # (`UpdatePoseFromMsg`, `keyframe_be.cpp:610-641`)
+        ref_row = self.kf_row(msg.id_reference)
+        if ref_row >= 0 and msg.T_sref_s is not None:
+            T_w_s = _np_pose_compose(self.kf_pose[ref_row], msg.T_sref_s)
+        elif msg.T_w_s_vio is not None:
+            T_w_s = np.asarray(msg.T_w_s_vio, np.float64)
+        else:
+            T_w_s = np.asarray(geo.pose_identity(np.float64))
+        self.kf_pose[row] = T_w_s
+        self.kf_pose_vio[row] = (
+            np.asarray(msg.T_w_s_vio, np.float64)
+            if msg.T_w_s_vio is not None else T_w_s
+        )
+        if msg.velocity is not None:
+            self.kf_vel[row] = msg.velocity
+        if msg.bias_gyro is not None:
+            self.kf_bias[row, :3] = msg.bias_gyro
+        if msg.bias_acc is not None:
+            self.kf_bias[row, 3:] = msg.bias_acc
+
+        # IMU raw samples
+        if msg.preintegration is not None:
+            s = min(len(msg.preintegration.dts), self.imu_max_samples)
+            self.imu_acc[row, :s] = msg.preintegration.acc[:s]
+            self.imu_gyro[row, :s] = msg.preintegration.gyro[:s]
+            self.imu_dts[row, :s] = msg.preintegration.dts[:s]
+            self.imu_n[row] = s
+
+        # predecessor/successor (`EstablishConnections`, keyframe_be.cpp:350-383)
+        pred_row = self.kf_row(msg.id_predecessor)
+        if pred_row < 0 and msg.id_reference != (-1, -1):
+            pred_row = ref_row
+        if pred_row >= 0:
+            self.kf_pred[row] = pred_row
+            self.kf_succ[pred_row] = row
+
+        self.kf_mask[row] = True
+        self.n_kf = row + 1
+        self._kf_index[key] = row
+
+        # landmark observations carried on the KF message
+        if msg.landmark_ids is not None:
+            for feat_idx in range(nf):
+                lid = int(msg.landmark_ids[feat_idx])
+                if lid < 0:
+                    continue
+                lrow = self.lm_row((lid, client_id))
+                if lrow >= 0:
+                    self.add_observation(row, lrow, feat_idx)
+        return row
+
+    def add_landmark(self, msg: msgs.MsgLandmark) -> int:
+        """Landmark row from message (`Landmark` ctor + `EstablishConnections`
+        + `UpdatePosFromMsg`, `landmark_be.cpp:124-239`): position arrives in
+        the reference KF body frame and is lifted to world."""
+        key = tuple(msg.id)
+        if key in self._lm_index:
+            return self._lm_index[key]
+        ref_row = self.kf_row(msg.id_reference)
+        if ref_row < 0:
+            raise ValueError(f"landmark {key}: unknown reference KF {msg.id_reference}")
+        row = self.n_lm
+        self._ensure_lm(row + 1)
+        self.lm_ids[row] = tuple(msg.id)
+        self.lm_ref[row] = ref_row
+        self.lm_first_kf[row] = ref_row
+        pos_w = np.asarray(
+            geo.pose_apply(self.kf_pose[ref_row], np.asarray(msg.pos_ref))
+        )
+        self.lm_pos[row] = pos_w
+        self.lm_mask[row] = True
+        self.n_lm = row + 1
+        self._lm_index[key] = row
+        for (kf_id, client_id), feat_idx in msg.observations.items():
+            krow = self.kf_row((kf_id, client_id))
+            if krow >= 0:
+                self.add_observation(krow, row, int(feat_idx))
+        return row
+
+    def add_observation(self, kf_row: int, lm_row: int, feat_idx: int):
+        i = self.n_obs
+        self._ensure_obs(i + 1)
+        self.obs_kf[i] = kf_row
+        self.obs_lm[i] = lm_row
+        self.obs_feat[i] = feat_idx
+        self.obs_mask[i] = True
+        self.kf_feat_lm[kf_row, feat_idx] = lm_row
+        self.n_obs = i + 1
+
+    def update_keyframe_pose(self, msg: msgs.MsgKeyframeUpdate):
+        """Pose update vs the origin KF (`UpdatePoseFromMsg` update path,
+        `keyframe_be.cpp:610-641`: skip if already optimized server-side)."""
+        row = self.kf_row(msg.id)
+        if row < 0:
+            return
+        if self.kf_pose_optimized[row]:
+            return
+        ref_row = self.kf_row(msg.id_reference)
+        if ref_row < 0:
+            return
+        self.kf_pose[row] = _np_pose_compose(self.kf_pose[ref_row], msg.T_sref_s)
+        if msg.velocity is not None:
+            self.kf_vel[row] = msg.velocity
+        if msg.bias_gyro is not None:
+            self.kf_bias[row, :3] = msg.bias_gyro
+        if msg.bias_acc is not None:
+            self.kf_bias[row, 3:] = msg.bias_acc
+
+    # ------------------------------------------------------------ maintenance
+    def landmark_culling(self, min_obs: int = 2, max_gap: int = 5):
+        """Remove landmarks that never reached `min_obs` observations once
+        their reference KF is `max_gap` keyframes old
+        (`Communicator::LandmarkCulling`, `communicator_be.cpp:71-105`)."""
+        if self.n_lm == 0:
+            return 0
+        counts = np.zeros(self.n_lm, np.int64)
+        np.add.at(counts, self.obs_lm[: self.n_obs][self.obs_mask[: self.n_obs]], 1)
+        age = self.n_kf - 1 - self.lm_first_kf[: self.n_lm]
+        kill = self.lm_mask[: self.n_lm] & (counts < min_obs) & (age > max_gap)
+        rows = np.where(kill)[0]
+        for r in rows:
+            self.erase_landmark(r)
+        return len(rows)
+
+    def erase_landmark(self, row: int):
+        self.lm_mask[row] = False
+        sel = self.obs_lm[: self.n_obs] == row
+        self.obs_mask[: self.n_obs][sel] = False
+        mask_idx = np.where(sel)[0]
+        for i in mask_idx:
+            self.kf_feat_lm[self.obs_kf[i], self.obs_feat[i]] = -1
+        key = tuple(self.lm_ids[row])
+        self._lm_index.pop(key, None)
+
+    def erase_keyframe(self, row: int):
+        """Erase a KF, splicing pred<->succ and merging its IMU window into
+        the successor (`FusePreintegration`, `keyframe_be.cpp:413-440`)."""
+        pred, succ = self.kf_pred[row], self.kf_succ[row]
+        if succ >= 0:
+            # successor's window absorbs this KF's samples (prepend)
+            n1, n2 = int(self.imu_n[row]), int(self.imu_n[succ])
+            tot = min(n1 + n2, self.imu_max_samples)
+            acc = np.concatenate([self.imu_acc[row, :n1], self.imu_acc[succ, :n2]])[:tot]
+            gyr = np.concatenate([self.imu_gyro[row, :n1], self.imu_gyro[succ, :n2]])[:tot]
+            dts = np.concatenate([self.imu_dts[row, :n1], self.imu_dts[succ, :n2]])[:tot]
+            self.imu_acc[succ, :tot] = acc
+            self.imu_gyro[succ, :tot] = gyr
+            self.imu_dts[succ, :tot] = dts
+            self.imu_n[succ] = tot
+        if pred >= 0:
+            self.kf_succ[pred] = succ if succ >= 0 else -1
+        if succ >= 0:
+            self.kf_pred[succ] = pred if pred >= 0 else -1
+        self.kf_mask[row] = False
+        sel = self.obs_kf[: self.n_obs] == row
+        self.obs_mask[: self.n_obs][sel] = False
+        # re-anchor landmarks referencing this KF to their first live observer
+        for lrow in np.unique(self.obs_lm[: self.n_obs][sel]):
+            if self.lm_ref[lrow] == row:
+                obs_of = self.obs_kf[: self.n_obs][
+                    (self.obs_lm[: self.n_obs] == lrow) & self.obs_mask[: self.n_obs]
+                ]
+                self.lm_ref[lrow] = obs_of[0] if len(obs_of) else -1
+        key = tuple(self.kf_ids[row])
+        self._kf_index.pop(key, None)
+
+    def remove_redundant_keyframes(
+        self,
+        threshold: float = 0.95,
+        max_time_dist: float = 1.0,
+        target_kf_count: Optional[int] = None,
+    ) -> int:
+        """Keyframe culling by redundancy value (`Map::RemoveRedundantData`,
+        `map_be.cpp:745-811`): iteratively erase the most redundant KF,
+        skipping loop-KFs and KFs whose removal would leave a pred-succ
+        time gap >= `max_time_dist`.  Two modes: threshold, or prune down
+        to `target_kf_count`."""
+        from covins_tpu.ops import covisibility as cov
+
+        removed = 0
+        while True:
+            n_live = int(self.kf_mask[: self.n_kf].sum())
+            if target_kf_count is not None and n_live <= target_kf_count:
+                break
+            red = np.asarray(
+                cov.redundancy_values(
+                    self.obs_kf[: self.n_obs], self.obs_lm[: self.n_obs],
+                    self.obs_mask[: self.n_obs].astype(np.float32),
+                    n_kf=self.n_kf, n_lm=max(self.n_lm, 1),
+                )
+            )
+            order = np.argsort(-red)
+            found = -1
+            for r in order:
+                if not self.kf_mask[r] or self.kf_is_loop[r]:
+                    continue
+                if target_kf_count is None and red[r] < threshold:
+                    break
+                pred, succ = self.kf_pred[r], self.kf_succ[r]
+                if pred < 0 or succ < 0:
+                    continue
+                if self.kf_stamp[succ] - self.kf_stamp[pred] >= max_time_dist:
+                    continue
+                found = r
+                break
+            if found < 0:
+                break
+            self.erase_keyframe(found)
+            removed += 1
+        return removed
+
+    # ------------------------------------------------------------------ merge
+    def merge_from(self, other: "Map", T_wtarget_wtofuse: np.ndarray):
+        """Union `other` into self, rigidly transforming the fused map's
+        poses/velocities/landmarks by ``T_wtarget_wtofuse`` (the merged-map
+        constructor, `map_be.cpp:334-381`)."""
+        T = np.asarray(T_wtarget_wtofuse, np.float64)
+        kf_off = self.n_kf
+        lm_off = self.n_lm
+        nk, nl, no = other.n_kf, other.n_lm, other.n_obs
+        self._ensure_kf(kf_off + nk)
+        self._ensure_lm(lm_off + nl)
+        self._ensure_obs(self.n_obs + no)
+
+        # keyframes: transformed poses; velocities rotated
+        R = np.asarray(geo.quat_to_matrix(T[:4]))
+        for name in (
+            "kf_ids", "kf_stamp", "kf_vel", "kf_bias", "kf_mask",
+            "kf_is_loop", "kf_pose_optimized", "kf_n_feat", "kp_uv",
+            "kp_undist", "kp_aors", "descriptors", "imu_acc", "imu_gyro",
+            "imu_dts", "imu_n", "kf_pose_vio",
+        ):
+            getattr(self, name)[kf_off : kf_off + nk] = getattr(other, name)[:nk]
+        self.kf_pose[kf_off : kf_off + nk] = np.asarray(
+            geo.pose_compose(T[None], other.kf_pose[:nk])
+        )
+        self.kf_vel[kf_off : kf_off + nk] = other.kf_vel[:nk] @ R.T
+        self.kf_pred[kf_off : kf_off + nk] = np.where(
+            other.kf_pred[:nk] >= 0, other.kf_pred[:nk] + kf_off, -1
+        )
+        self.kf_succ[kf_off : kf_off + nk] = np.where(
+            other.kf_succ[:nk] >= 0, other.kf_succ[:nk] + kf_off, -1
+        )
+        self.kf_feat_lm[kf_off : kf_off + nk] = np.where(
+            other.kf_feat_lm[:nk] >= 0, other.kf_feat_lm[:nk] + lm_off, -1
+        )
+
+        # landmarks
+        for name in ("lm_ids", "lm_mask", "lm_desc"):
+            getattr(self, name)[lm_off : lm_off + nl] = getattr(other, name)[:nl]
+        self.lm_pos[lm_off : lm_off + nl] = np.asarray(
+            geo.sim3_apply(
+                np.concatenate([T, np.ones(1)]), other.lm_pos[:nl]
+            )
+        )
+        self.lm_normal[lm_off : lm_off + nl] = other.lm_normal[:nl] @ R.T
+        self.lm_ref[lm_off : lm_off + nl] = np.where(
+            other.lm_ref[:nl] >= 0, other.lm_ref[:nl] + kf_off, -1
+        )
+        self.lm_first_kf[lm_off : lm_off + nl] = np.where(
+            other.lm_first_kf[:nl] >= 0, other.lm_first_kf[:nl] + kf_off, -1
+        )
+
+        # observations
+        o0 = self.n_obs
+        self.obs_kf[o0 : o0 + no] = other.obs_kf[:no] + kf_off
+        self.obs_lm[o0 : o0 + no] = other.obs_lm[:no] + lm_off
+        self.obs_feat[o0 : o0 + no] = other.obs_feat[:no]
+        self.obs_mask[o0 : o0 + no] = other.obs_mask[:no]
+
+        self.n_kf += nk
+        self.n_lm += nl
+        self.n_obs += no
+        for key, row in other._kf_index.items():
+            self._kf_index[key] = row + kf_off
+        for key, row in other._lm_index.items():
+            self._lm_index[key] = row + lm_off
+        self.associated_clients |= other.associated_clients
+        self.calib.update(other.calib)
+        for lc in other.loops:
+            self.loops.append(
+                {**lc, "kf1": lc["kf1"] + kf_off, "kf2": lc["kf2"] + kf_off}
+            )
+
+    def add_loop_constraint(self, kf1: int, kf2: int, T_12: np.ndarray, cov=None):
+        """`Map::AddLoopConstraint` (`map_be.cpp:404-409`): records the
+        constraint and flags both KFs as loop-KFs (protects from culling)."""
+        self.loops.append(
+            {"kf1": int(kf1), "kf2": int(kf2),
+             "T_12": np.asarray(T_12, np.float64),
+             "cov": None if cov is None else np.asarray(cov, np.float64)}
+        )
+        self.kf_is_loop[kf1] = True
+        self.kf_is_loop[kf2] = True
+
+    # ----------------------------------------------------------- persistence
+    def save(self, path: str):
+        """Columnar checkpoint (one npz instead of the reference's
+        file-per-KF cereal dump, `map_be.cpp:813-922`)."""
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        arrays = {}
+        for name in (
+            "kf_ids", "kf_stamp", "kf_pose", "kf_pose_vio", "kf_vel",
+            "kf_bias", "kf_pred", "kf_succ", "kf_mask", "kf_is_loop",
+            "kf_pose_optimized", "kf_n_feat", "kp_uv", "kp_undist",
+            "kp_aors", "descriptors", "kf_feat_lm", "imu_acc", "imu_gyro",
+            "imu_dts", "imu_n",
+        ):
+            arrays[name] = getattr(self, name)[: self.n_kf]
+        for name in (
+            "lm_ids", "lm_pos", "lm_ref", "lm_mask", "lm_desc",
+            "lm_normal", "lm_first_kf",
+        ):
+            arrays[name] = getattr(self, name)[: self.n_lm]
+        for name in ("obs_kf", "obs_lm", "obs_feat", "obs_mask"):
+            arrays[name] = getattr(self, name)[: self.n_obs]
+        arrays["loop_kf1"] = np.asarray([l["kf1"] for l in self.loops], np.int32)
+        arrays["loop_kf2"] = np.asarray([l["kf2"] for l in self.loops], np.int32)
+        arrays["loop_T"] = (
+            np.stack([l["T_12"] for l in self.loops])
+            if self.loops else np.zeros((0, 7))
+        )
+        arrays["map_id"] = np.asarray(self.id)
+        np.savez_compressed(path, **arrays)
+
+    @classmethod
+    def load(cls, path: str) -> "Map":
+        z = np.load(path, allow_pickle=False)
+        n_kf = z["kf_ids"].shape[0]
+        n_lm = z["lm_ids"].shape[0]
+        n_obs = z["obs_kf"].shape[0]
+        mp = cls(
+            int(z["map_id"]),
+            max_features=z["descriptors"].shape[1] if n_kf else 1024,
+            desc_bytes=z["descriptors"].shape[2] if n_kf else 32,
+            kf_capacity=max(n_kf, 16),
+            lm_capacity=max(n_lm, 16),
+            obs_capacity=max(n_obs, 16),
+        )
+        mp.n_kf, mp.n_lm, mp.n_obs = n_kf, n_lm, n_obs
+        for name in z.files:
+            if name in ("loop_kf1", "loop_kf2", "loop_T", "map_id"):
+                continue
+            getattr(mp, name)[: z[name].shape[0]] = z[name]
+        for i in range(n_kf):
+            if mp.kf_mask[i]:
+                mp._kf_index[tuple(mp.kf_ids[i])] = i
+                mp.associated_clients.add(int(mp.kf_ids[i, 1]))
+        for i in range(n_lm):
+            if mp.lm_mask[i]:
+                mp._lm_index[tuple(mp.lm_ids[i])] = i
+        for k1, k2, T in zip(z["loop_kf1"], z["loop_kf2"], z["loop_T"]):
+            mp.loops.append({"kf1": int(k1), "kf2": int(k2),
+                             "T_12": np.asarray(T), "cov": None})
+        return mp
+
+    # ------------------------------------------------------------- snapshots
+    def live_kf_rows(self, client_id: Optional[int] = None) -> np.ndarray:
+        rows = np.where(self.kf_mask[: self.n_kf])[0]
+        if client_id is not None:
+            rows = rows[self.kf_ids[rows, 1] == client_id]
+        return rows
+
+    def to_pose_graph(self, loop_default_rot_w=100.0, loop_default_trans_w=1e4):
+        """Build a `covins_tpu.ops.pgo.PoseGraph` snapshot: successor edges
+        from VIO poses (`optimization_be.cpp:946-972`), loop edges from the
+        recorded constraints weighted by their covariance when present
+        (`:889-944`)."""
+        import jax.numpy as jnp
+        from covins_tpu.ops import pgo as pgo_mod
+        from covins_tpu.ops import residuals as res_mod
+
+        n = self.n_kf
+        ei, ej, eT, eS, eloop = [], [], [], [], []
+        for r in range(n):
+            s = self.kf_succ[r]
+            if s < 0 or not (self.kf_mask[r] and self.kf_mask[s]):
+                continue
+            T_ij = np.asarray(
+                geo.pose_relative(self.kf_pose_vio[r], self.kf_pose_vio[s])
+            )
+            ei.append(r); ej.append(int(s)); eT.append(T_ij)
+            eS.append(np.diag([1.0] * 6)); eloop.append(False)
+        for lc in self.loops:
+            ei.append(lc["kf1"]); ej.append(lc["kf2"]); eT.append(lc["T_12"])
+            if lc.get("cov") is not None:
+                eS.append(np.asarray(res_mod.sqrt_info_from_covariance(
+                    jnp.asarray(lc["cov"]))))
+            else:
+                eS.append(np.diag([loop_default_rot_w] * 3
+                                  + [loop_default_trans_w] * 3))
+            eloop.append(True)
+        ne = max(len(ei), 1)
+        if not ei:
+            ei, ej = [0], [0]
+            eT = [np.asarray(geo.pose_identity(np.float64))]
+            eS = [np.zeros((6, 6))]
+            eloop = [False]
+        fixed = np.zeros(n, bool)
+        live = self.live_kf_rows()
+        if len(live):
+            fixed[live[0]] = True
+        return pgo_mod.PoseGraph(
+            poses=jnp.asarray(self.kf_pose[:n]),
+            pose_mask=jnp.asarray(self.kf_mask[:n]),
+            fixed=jnp.asarray(fixed),
+            edge_i=jnp.asarray(ei, jnp.int32),
+            edge_j=jnp.asarray(ej, jnp.int32),
+            edge_T=jnp.asarray(np.stack(eT)),
+            edge_sqrt_info=jnp.asarray(np.stack(eS)),
+            edge_mask=jnp.ones(ne, bool),
+            edge_is_loop=jnp.asarray(eloop),
+        )
+
+    def apply_pose_graph_result(self, poses_new: np.ndarray):
+        """Write back PGO poses; rotate velocities and re-anchor landmarks
+        through their reference KF's correction (`optimization_be.cpp:1033-1086`)."""
+        poses_new = np.asarray(poses_new)
+        n = self.n_kf
+        old = self.kf_pose[:n].copy()
+        corr = np.asarray(
+            geo.pose_compose(poses_new[:n], geo.pose_inverse(old))
+        )  # (n, 7) world-frame left delta per KF
+        live = self.kf_mask[:n]
+        self.kf_pose[:n][live] = poses_new[:n][live]
+        self.kf_pose_optimized[:n][live] = True
+        # velocities rotate by the correction rotation
+        import jax.numpy as jnp
+        Rc = np.asarray(geo.quat_to_matrix(jnp.asarray(corr[:, :4])))
+        self.kf_vel[:n][live] = np.einsum(
+            "nij,nj->ni", Rc[live], self.kf_vel[:n][live]
+        )
+        # landmarks move with their reference KF
+        for lrow in np.where(self.lm_mask[: self.n_lm])[0]:
+            ref = self.lm_ref[lrow]
+            if ref < 0 or not live[ref]:
+                continue
+            p_ref = np.asarray(
+                geo.pose_apply(geo.pose_inverse(old[ref]), self.lm_pos[lrow])
+            )
+            self.lm_pos[lrow] = np.asarray(
+                geo.pose_apply(self.kf_pose[ref], p_ref)
+            )
+
+    def to_gba_problem(self, octave_base_sigma: float = 2.0):
+        """Build a `covins_tpu.ops.gba.GBAProblem` snapshot: per-KF states,
+        landmarks, observation COO with octave sigma weights
+        (`optimization_be.cpp:178-235`), IMU factors re-propagated from the
+        stored raw samples at current bias (`:132-143`), loop edges."""
+        import jax
+        import jax.numpy as jnp
+        from covins_tpu.ops import gba as gba_mod
+        from covins_tpu.ops import imu as imu_mod
+        from covins_tpu.utils import cameras as cam_mod
+
+        n, m, o = self.n_kf, self.n_lm, self.n_obs
+        if not self.calib:
+            raise ValueError("no calibration registered; cannot build GBA")
+        calib = next(iter(self.calib.values()))
+        cam = cam_mod.Camera(
+            intrinsics=jnp.asarray(calib.intrinsics, jnp.float64),
+            dist=jnp.asarray(calib.dist, jnp.float64),
+            T_s_c=jnp.asarray(calib.T_s_c, jnp.float64),
+            cam_model=calib.cam_model,
+            dist_model=calib.dist_model,
+        )
+        noise = imu_mod.ImuNoise(
+            acc_noise=jnp.asarray(calib.acc_noise),
+            gyro_noise=jnp.asarray(calib.gyro_noise),
+            acc_walk=jnp.asarray(calib.acc_walk),
+            gyro_walk=jnp.asarray(calib.gyro_walk),
+        )
+
+        # observation weights from octave
+        octs = self.kp_aors[self.obs_kf[:o], self.obs_feat[:o], 1]
+        obs_w = 1.0 / (octave_base_sigma * (octs + 1.0))
+        obs_uv = self.kp_undist[self.obs_kf[:o], self.obs_feat[:o]]
+
+        # IMU factors: KF j's stored window covers (pred(j) -> j)
+        fi, fj = [], []
+        for r in range(n):
+            pr = self.kf_pred[r]
+            if pr >= 0 and self.imu_n[r] > 0 and self.kf_mask[r] and self.kf_mask[pr]:
+                fi.append(int(pr)); fj.append(r)
+        if not fi:
+            fi, fj = [0], [0]
+        fi = np.asarray(fi, np.int32)
+        fj = np.asarray(fj, np.int32)
+        s_cap = self.imu_max_samples
+        acc = jnp.asarray(self.imu_acc[fj])
+        gyr = jnp.asarray(self.imu_gyro[fj])
+        dts = jnp.asarray(self.imu_dts[fj])
+        smask = (
+            np.arange(s_cap)[None, :] < self.imu_n[fj][:, None]
+        ).astype(np.float64)
+        bgs = jnp.asarray(self.kf_bias[fi, :3])
+        bas = jnp.asarray(self.kf_bias[fi, 3:])
+        pre = jax.vmap(
+            lambda a, g, d, mk, bg, ba: imu_mod.preintegrate(a, g, d, mk, bg, ba, noise)
+        )(acc, gyr, dts, jnp.asarray(smask), bgs, bas)
+        imu_mask = np.asarray(pre.dt) > 1e-6
+        imu_sqrt = gba_mod.imu_sqrt_info_from_cov(pre.cov)
+        bias_sqrt = gba_mod.bias_walk_sqrt_info(noise, pre.dt)
+
+        # loop edges
+        if self.loops:
+            li = jnp.asarray([l["kf1"] for l in self.loops], jnp.int32)
+            lj = jnp.asarray([l["kf2"] for l in self.loops], jnp.int32)
+            lT = jnp.asarray(np.stack([l["T_12"] for l in self.loops]))
+            lS = jnp.asarray(
+                np.stack([
+                    np.diag([100.0] * 3 + [1e4] * 3) if l["cov"] is None
+                    else np.asarray(jnp.linalg.cholesky(
+                        jnp.linalg.inv(jnp.asarray(l["cov"]) + 1e-12 * jnp.eye(6))
+                    ).T)
+                    for l in self.loops
+                ])
+            )
+            lmask = jnp.ones(len(self.loops), bool)
+        else:
+            li = lj = jnp.zeros(1, jnp.int32)
+            lT = jnp.asarray(geo.pose_identity(np.float64))[None]
+            lS = jnp.zeros((1, 6, 6))
+            lmask = jnp.zeros(1, bool)
+
+        fixed = np.zeros(n, bool)
+        live = self.live_kf_rows()
+        if len(live):
+            fixed[live[0]] = True
+
+        return gba_mod.GBAProblem(
+            poses=jnp.asarray(self.kf_pose[:n]),
+            vels=jnp.asarray(self.kf_vel[:n]),
+            biases=jnp.asarray(self.kf_bias[:n]),
+            kf_mask=jnp.asarray(self.kf_mask[:n]),
+            kf_fixed=jnp.asarray(fixed),
+            cam=cam,
+            lms=jnp.asarray(self.lm_pos[:m]),
+            lm_mask=jnp.asarray(self.lm_mask[:m]),
+            obs_kf=jnp.asarray(self.obs_kf[:o]),
+            obs_lm=jnp.asarray(self.obs_lm[:o]),
+            obs_uv=jnp.asarray(obs_uv, jnp.float64),
+            obs_w=jnp.asarray(obs_w, jnp.float64),
+            obs_mask=jnp.asarray(self.obs_mask[:o]),
+            imu_i=jnp.asarray(fi), imu_j=jnp.asarray(fj),
+            imu_pre=pre,
+            imu_sqrt_info=imu_sqrt, bias_sqrt_info=bias_sqrt,
+            imu_mask=jnp.asarray(imu_mask),
+            gravity=jnp.asarray([0.0, 0.0, -calib.gravity_mag]),
+            loop_i=li, loop_j=lj, loop_T=lT, loop_sqrt_info=lS,
+            loop_mask=lmask,
+        )
+
+    def apply_gba_result(self, problem):
+        """Write back optimized keyframe states and landmark positions
+        (`optimization_be.cpp:560-617`)."""
+        n, m = self.n_kf, self.n_lm
+        live = self.kf_mask[:n]
+        self.kf_pose[:n][live] = np.asarray(problem.poses)[:n][live]
+        self.kf_vel[:n][live] = np.asarray(problem.vels)[:n][live]
+        self.kf_bias[:n][live] = np.asarray(problem.biases)[:n][live]
+        self.kf_pose_optimized[:n][live] = True
+        lml = self.lm_mask[:m]
+        self.lm_pos[:m][lml] = np.asarray(problem.lms)[:m][lml]
+        self.obs_mask[: self.n_obs] = np.asarray(problem.obs_mask)
+
+    def update_landmark_attributes(self, lm_rows=None, max_obs_pad: int = 16):
+        """Batched representative-descriptor + normal refresh for a cohort
+        of landmarks (the per-KF ingest loop of `communicator_be.cpp:181-205`)."""
+        import jax.numpy as jnp
+        from covins_tpu.ops import landmark_ops
+
+        if lm_rows is None:
+            lm_rows = np.where(self.lm_mask[: self.n_lm])[0]
+        lm_rows = np.asarray(lm_rows, np.int32)
+        if len(lm_rows) == 0:
+            return
+        o = self.n_obs
+        descs = np.zeros((len(lm_rows), max_obs_pad, self.desc_bytes), np.uint8)
+        centers = np.zeros((len(lm_rows), max_obs_pad, 3), np.float64)
+        mask = np.zeros((len(lm_rows), max_obs_pad), bool)
+        for i, lr in enumerate(lm_rows):
+            sel = np.where((self.obs_lm[:o] == lr) & self.obs_mask[:o])[0][:max_obs_pad]
+            for j, oi in enumerate(sel):
+                kr, ft = self.obs_kf[oi], self.obs_feat[oi]
+                descs[i, j] = self.descriptors[kr, ft]
+                centers[i, j] = self.kf_pose[kr, 4:7]
+                mask[i, j] = True
+        rep = np.asarray(
+            landmark_ops.representative_descriptors(
+                jnp.asarray(descs), jnp.asarray(mask)
+            )
+        )
+        nrm = np.asarray(
+            landmark_ops.landmark_normals(
+                jnp.asarray(self.lm_pos[lm_rows]), jnp.asarray(centers),
+                jnp.asarray(mask, jnp.float64),
+            )
+        )
+        any_obs = mask.any(axis=1)
+        self.lm_desc[lm_rows[any_obs]] = rep[any_obs]
+        self.lm_normal[lm_rows[any_obs]] = nrm[any_obs]
+
+    # ------------------------------------------------------------ trajectories
+    def write_trajectory_tum(self, path: str, client_id: int, truncate=True):
+        """TUM format: `stamp tx ty tz qx qy qz qw`
+        (`Map::WriteStateToCsvTUM`, `map_be.cpp:1040-1076`)."""
+        rows = self.live_kf_rows(client_id)
+        if len(rows) == 0:
+            return
+        rows = rows[np.argsort(self.kf_stamp[rows])]
+        mode = "w" if truncate else "a"
+        with open(path, mode) as fh:
+            for r in rows:
+                q = self.kf_pose[r, :4]
+                t = self.kf_pose[r, 4:7]
+                fh.write(
+                    f"{self.kf_stamp[r]:.25g} {t[0]:.17g} {t[1]:.17g} {t[2]:.17g} "
+                    f"{q[1]:.17g} {q[2]:.17g} {q[3]:.17g} {q[0]:.17g}\n"
+                )
+
+    def write_trajectory_euroc(self, path: str, client_id: int, truncate=True):
+        """EuRoC format: `stamp_ns,tx,ty,tz,qw,qx,qy,qz,vx,vy,vz,bgx..,bax..`
+        (`Map::WriteStateToCsv`, `map_be.cpp:987-1038`)."""
+        rows = self.live_kf_rows(client_id)
+        if len(rows) == 0:
+            return
+        rows = rows[np.argsort(self.kf_stamp[rows])]
+        mode = "w" if truncate else "a"
+        with open(path, mode) as fh:
+            for r in rows:
+                q = self.kf_pose[r, :4]
+                t = self.kf_pose[r, 4:7]
+                v = self.kf_vel[r]
+                bg = self.kf_bias[r, :3]
+                ba = self.kf_bias[r, 3:]
+                fh.write(
+                    f"{self.kf_stamp[r] * 1e9:.25g},"
+                    f"{t[0]:.17g},{t[1]:.17g},{t[2]:.17g},"
+                    f"{q[0]:.17g},{q[1]:.17g},{q[2]:.17g},{q[3]:.17g},"
+                    f"{v[0]:.17g},{v[1]:.17g},{v[2]:.17g},"
+                    f"{bg[0]:.17g},{bg[1]:.17g},{bg[2]:.17g},"
+                    f"{ba[0]:.17g},{ba[1]:.17g},{ba[2]:.17g}\n"
+                )
+
+    def write_trajectories(self, out_dir: str, fmt: str = "TUM", suffix: str = ""):
+        """Per-client files + combined estimate (`WriteKFsToFile` /
+        `WriteKFsToFileAllAg`, `map_be.cpp:944-985`)."""
+        os.makedirs(out_dir, exist_ok=True)
+        combined = os.path.join(out_dir, f"stamped_traj_estimate{suffix}.txt")
+        first = True
+        for cid in sorted(self.associated_clients):
+            if fmt == "TUM":
+                self.write_trajectory_tum(
+                    os.path.join(out_dir, f"KF_{cid}{suffix}_ftum.csv"), cid
+                )
+                self.write_trajectory_tum(combined, cid, truncate=first)
+            else:
+                self.write_trajectory_euroc(
+                    os.path.join(out_dir, f"KF_{cid}{suffix}_feuroc.csv"), cid
+                )
+                self.write_trajectory_euroc(combined, cid, truncate=first)
+            first = False
