@@ -87,6 +87,14 @@ class SyntheticAgent:
         )
         self.traj = synthetic.generate(n_keyframes=n_keyframes, kf_dt=kf_dt, t0=t0)
         self.n_keyframes = n_keyframes
+        # Track window: a world landmark keeps its client landmark id only
+        # while continuously tracked; after `track_gap` keyframes unseen, a
+        # revisit mints a NEW landmark id (like a real VIO front-end that
+        # lost track — loop closure, not tracking, must re-associate).
+        self.track_gap = 3
+        self._lm_client_id: dict[int, int] = {}  # world idx -> client lm id
+        self._lm_last_seen: dict[int, int] = {}
+        self._next_lm_id = 0
         self._sent_lms: set[int] = set()
         # drifted "VIO" poses: what the front-end believes
         self._vio_poses = self._make_vio_poses()
@@ -151,7 +159,18 @@ class SyntheticAgent:
             descs = np.stack([self._noisy_desc(i) for i in idx]) if len(idx) else (
                 np.zeros((0, 32), np.uint8))
             aors = np.zeros((len(idx), 4), np.float32)  # octave 0
-            lm_ids = idx.astype(np.int64)  # world lm index as the client lm id
+            # client landmark ids with track-loss semantics
+            lm_ids = np.empty(len(idx), np.int64)
+            new_world_idx = []
+            for j, wi in enumerate(idx):
+                wi = int(wi)
+                last = self._lm_last_seen.get(wi, -(10**9))
+                if k - last > self.track_gap:
+                    self._lm_client_id[wi] = self._next_lm_id
+                    self._next_lm_id += 1
+                    new_world_idx.append((j, wi))
+                self._lm_last_seen[wi] = k
+                lm_ids[j] = self._lm_client_id[wi]
 
             if k == 0:
                 T_sref_s = np.asarray(geo.pose_identity(np.float64))
@@ -189,19 +208,19 @@ class SyntheticAgent:
                 id_successor=(-1, -1),
             )
 
-            # new landmarks observed for the first time by this agent
-            for j, li in enumerate(idx):
-                if int(li) in self._sent_lms:
-                    continue
-                self._sent_lms.add(int(li))
+            # newly-minted landmarks get a MsgLandmark; pos_ref is computed
+            # against the DRIFTED vio pose (what the front-end believes),
+            # like a real front-end triangulating in its own frame
+            for j, wi in new_world_idx:
+                lid = int(lm_ids[j])
                 pos_ref = np.asarray(
                     geo.pose_apply(
                         geo.pose_inverse(jnp.asarray(self._vio_poses[k])),
-                        jnp.asarray(self.world.landmarks[li]),
+                        jnp.asarray(self.world.landmarks[wi]),
                     )
                 )
                 yield msgs.MsgLandmark(
-                    id=(int(li), self.client_id),
+                    id=(lid, self.client_id),
                     id_reference=(k, self.client_id),
                     pos_ref=pos_ref,
                     observations={(k, self.client_id): int(j)},

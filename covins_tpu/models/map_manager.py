@@ -1,0 +1,163 @@
+"""Map manager: per-agent map registry, loop correction, map merging.
+
+TPU-native re-design of the reference `MapManager`
+(`covins_backend/src/covins_backend/map_be.cpp:37-322`): the checkout/
+return mutex protocol becomes plain synchronous method calls on the host
+orchestration thread (the compute-heavy work happens inside jit'd kernels
+that operate on snapshots), and the merge queue becomes an immediate
+`perform_merge` (the reference queues merges only to serialize them across
+threads, `RegisterMerge`/`CheckMergeBuffer`, `:169-244`).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from covins_tpu.models.kf_database import KeyframeDatabase
+from covins_tpu.models.map_store import Map
+from covins_tpu.models.placerec import LoopResult
+from covins_tpu.ops import pgo as pgo_mod
+from covins_tpu.utils import geometry as geo
+from covins_tpu.utils.config import Config
+
+
+class MapManager:
+    def __init__(self, vocabulary: np.ndarray, config: Optional[Config] = None):
+        self.cfg = config or Config()
+        self.database = KeyframeDatabase(vocabulary)
+        self.maps: Dict[int, Map] = {}
+        self.map_of_client: Dict[int, int] = {}
+        self._next_map_id = 0
+        self.n_merges = 0
+        self.n_loops = 0
+
+    # ------------------------------------------------------------- registry
+    def init_map(self, client_id: int) -> Map:
+        """`MapManager::InitializeMap` — one fresh map per new agent."""
+        mp = Map(self._next_map_id)
+        self.maps[mp.id] = mp
+        self.map_of_client[client_id] = mp.id
+        self._next_map_id += 1
+        return mp
+
+    def register_map(self, mp: Map):
+        """`MapManager::RegisterMap` — attach a loaded map."""
+        mp.id = self._next_map_id
+        self._next_map_id += 1
+        self.maps[mp.id] = mp
+        for cid in mp.associated_clients:
+            self.map_of_client[cid] = mp.id
+        # re-index its keyframes into the retrieval database
+        for row in mp.live_kf_rows():
+            nf = int(mp.kf_n_feat[row])
+            if nf > 0:
+                kid = tuple(mp.kf_ids[row])
+                self.database.add_keyframe(kid, mp.descriptors[row, :nf])
+
+    def map_of(self, client_id: int) -> Map:
+        return self.maps[self.map_of_client[client_id]]
+
+    def resolve(self, kf_id: tuple) -> Tuple[Optional[Map], int]:
+        """kf id -> (map, row) across all registered maps."""
+        for mp in self.maps.values():
+            row = mp.kf_row(kf_id)
+            if row >= 0:
+                return mp, row
+        return None, -1
+
+    # --------------------------------------------------------------- loops
+    def handle_loop(self, loop: LoopResult) -> str:
+        """`CorrectLoop` (`placerec_be.cpp:287-344`): same map -> add the
+        constraint (+ optional PGO); different maps -> merge.  Returns
+        'loop' | 'merge' | 'ignored'."""
+        mp_q, q_row = self.resolve(loop.query_id)
+        mp_c, c_row = self.resolve(loop.candidate_id)
+        if mp_q is None or mp_c is None:
+            return "ignored"
+        if mp_q is mp_c:
+            # duplicate-constraint guard (`placerec_be.cpp:295-305`)
+            for lc in mp_q.loops:
+                if {lc["kf1"], lc["kf2"]} == {q_row, c_row}:
+                    return "ignored"
+            mp_q.add_loop_constraint(q_row, c_row, self._loop_T_c_q(loop),
+                                     cov=loop.cov)
+            self.n_loops += 1
+            if self.cfg.perform_pgo:
+                self.run_pgo(mp_q)
+            return "loop"
+        self.perform_merge(mp_q, q_row, mp_c, c_row, loop)
+        return "merge"
+
+    @staticmethod
+    def _loop_T_c_q(loop: LoopResult) -> np.ndarray:
+        """Loop edges are stored as T_12 between (kf1=query, kf2=candidate)
+        meaning T_{kf1}_{kf2} = T_sq_sc — exactly loop.T_12."""
+        return np.asarray(loop.T_12, np.float64)
+
+    def perform_merge(self, mp_q: Map, q_row: int, mp_c: Map, c_row: int,
+                      loop: LoopResult):
+        """`MapManager::PerformMerge` (`map_be.cpp:192-244`): fuse the
+        query's map into the candidate's map with
+        ``T_wc_wq = T_wc_sc * T_12^-1 * T_sq_wq``."""
+        T_12 = jnp.asarray(loop.T_12)  # T_sq_sc
+        T_wq_sq = jnp.asarray(mp_q.kf_pose[q_row])
+        T_wc_sc = jnp.asarray(mp_c.kf_pose[c_row])
+        T_wc_wq = geo.pose_compose(
+            T_wc_sc, geo.pose_compose(geo.pose_inverse(T_12),
+                                      geo.pose_inverse(T_wq_sq))
+        )
+        kf_off = mp_c.n_kf
+        mp_c.merge_from(mp_q, np.asarray(T_wc_wq))
+        # the fused query row is offset into the target map
+        q_row_merged = q_row + kf_off
+        mp_c.add_loop_constraint(q_row_merged, c_row,
+                                 self._loop_T_c_q(loop), cov=loop.cov)
+        # re-point all clients of the fused map
+        for cid in list(mp_q.associated_clients):
+            self.map_of_client[cid] = mp_c.id
+        self.maps.pop(mp_q.id, None)
+        self.n_merges += 1
+        self.n_loops += 1
+        if self.cfg.perform_pgo:
+            self.run_pgo(mp_c)
+
+    # ----------------------------------------------------------------- PGO
+    def run_pgo(self, mp: Map):
+        g = mp.to_pose_graph()
+        g = self._weight_pose_graph(g)
+        poses, _ = pgo_mod.optimize_pose_graph(
+            g, n_gn=self.cfg.pgo_iteration_limit, n_cg=100,
+            cauchy_scale=(self.cfg.robust_loss_threshold
+                          if self.cfg.use_robust_loss else 0.0),
+        )
+        mp.apply_pose_graph_result(np.asarray(poses))
+
+    def _weight_pose_graph(self, g):
+        """Apply the reference's successor-edge weights (wt_kf_R/wt_kf_T,
+        `optimization_be.cpp:946-972`) to non-loop edges."""
+        cfg = self.cfg
+        S = np.array(g.edge_sqrt_info)  # mutable copy
+        is_loop = np.asarray(g.edge_is_loop)
+        w = np.diag([cfg.wt_kf_R * cfg.wt_kf_n1] * 3 +
+                    [cfg.wt_kf_T * cfg.wt_kf_n1] * 3)
+        S[~is_loop] = w[None]
+        import dataclasses as _dc
+        return _dc.replace(g, edge_sqrt_info=jnp.asarray(S))
+
+    # --------------------------------------------------------------- admin
+    def run_gba(self, map_id: int, visual_only: bool = False):
+        """`CallbackGBA` action semantics (`backend.cpp:128-176`)."""
+        from covins_tpu.ops import gba as gba_mod
+
+        mp = self.maps[map_id]
+        p = mp.to_gba_problem()
+        p2, info = gba_mod.global_bundle_adjustment(
+            p, n_gn=self.cfg.gba_iteration_limit, n_cg=60,
+            visual_only=visual_only,
+            th_outlier=self.cfg.th_gba_outlier_global * 10.0,
+        )
+        mp.apply_gba_result(p2)
+        return info

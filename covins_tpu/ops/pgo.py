@@ -112,7 +112,7 @@ def _pcg(Hv, b, Minv_blocks, free, n_iters: int):
     return x
 
 
-@partial(jax.jit, static_argnames=("n_gn", "n_cg"))
+@partial(jax.jit, static_argnames=("n_gn", "n_cg", "damping", "cauchy_scale"))
 def optimize_pose_graph(
     g: PoseGraph,
     n_gn: int = 8,
