@@ -1,0 +1,164 @@
+"""Command-line interface: server, replay agents, admin verbs, evaluation.
+
+Replaces the reference's ROS-based operational surface
+(`rosrun covins_backend covins_backend_node` + `rosservice call
+covins_{gba,savemap,loadmap,prunemap}` + example shell scripts under
+`orb_slam3/covins_examples/`) with explicit subcommands:
+
+    python -m covins_tpu server --port 9871 --vocab vocab.npz
+    python -m covins_tpu agent --synthetic --keyframes 40 --port 9871
+    python -m covins_tpu admin gba --map-id 0 --port 9871
+    python -m covins_tpu ate --est output/KF_0_ftum.csv --gt gt.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _load_or_make_vocab(args) -> np.ndarray:
+    if args.vocab:
+        z = np.load(args.vocab)
+        return z["vocab"] if "vocab" in z else z[z.files[0]]
+    # deterministic default: train on synthetic descriptors
+    import jax.numpy as jnp
+    from covins_tpu.agents.synthetic_agent import SyntheticWorld
+    from covins_tpu.ops import bow as bow_ops
+    world = SyntheticWorld.create(n_landmarks=1000, seed=0)
+    return np.asarray(
+        bow_ops.train_vocabulary(jnp.asarray(world.lm_descs),
+                                 k=args.vocab_words, iters=4)
+    )
+
+
+def cmd_server(args):
+    from covins_tpu.comm.server import CovinsServer
+    from covins_tpu.utils.config import Config
+
+    cfg = (Config.from_yaml(*args.config) if args.config else Config())
+    if args.placerec_type:
+        cfg.placerec_type = args.placerec_type
+    vocab = _load_or_make_vocab(args)
+    server = CovinsServer(vocab, cfg, host=args.host, port=args.port,
+                          output_dir=args.output_dir)
+    print(f"[covins-server] listening on {args.host}:{args.port} "
+          f"(placerec={cfg.placerec_type})", flush=True)
+    server.run()
+
+
+def cmd_agent(args):
+    from covins_tpu.agents.synthetic_agent import SyntheticAgent, SyntheticWorld
+    from covins_tpu.comm.client import AgentClient
+
+    client = AgentClient(args.host, args.port)
+    print(f"[covins-agent] connected, client_id={client.client_id}", flush=True)
+    if args.euroc:
+        from covins_tpu.agents.euroc_agent import EurocAgent
+        agent = EurocAgent(args.euroc, client.client_id,
+                           max_keyframes=args.keyframes)
+    else:
+        world = SyntheticWorld.create(n_landmarks=args.landmarks,
+                                      seed=args.world_seed)
+        agent = SyntheticAgent(world, client.client_id,
+                               n_keyframes=args.keyframes,
+                               t0=args.t0, pose_drift=args.drift)
+    n = 0
+    for msg in agent.messages():
+        client.send(msg)
+        n += 1
+    client.finish()
+    print(f"[covins-agent] sent {n} messages, done", flush=True)
+
+
+def cmd_admin(args):
+    from covins_tpu.comm.client import AgentClient
+
+    client = AgentClient(args.host, args.port)
+    kw = {}
+    if args.map_id is not None:
+        kw["map_id"] = args.map_id
+    if args.path:
+        kw["path"] = args.path
+    if args.max_num_kfs is not None:
+        kw["max_num_kfs"] = args.max_num_kfs
+    if args.visual_only:
+        kw["visual_only"] = True
+    reply = client.admin(args.verb, **kw)
+    client.finish()
+    print(json.dumps(reply, indent=2))
+
+
+def cmd_ate(args):
+    import jax.numpy as jnp
+    from covins_tpu.utils import geometry as geo
+
+    def load_tum(path):
+        rows = [l.split() for l in open(path) if l.strip()]
+        arr = np.asarray(rows, np.float64)
+        return arr[:, 0], arr[:, 1:4]
+
+    t_e, p_e = load_tum(args.est)
+    t_g, p_g = load_tum(args.gt)
+    # associate by closest timestamp (evaluate_ate_scale.py semantics)
+    ig = np.searchsorted(t_g, t_e)
+    ig = np.clip(ig, 0, len(t_g) - 1)
+    ok = np.abs(t_g[ig] - t_e) < args.max_dt
+    rmse, _ = geo.ate_rmse(jnp.asarray(p_e[ok]), jnp.asarray(p_g[ig][ok]),
+                           align_scale=not args.no_scale)
+    print(json.dumps({"ate_rmse": float(rmse), "n_pairs": int(ok.sum())}))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="covins_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("server", help="run the back-end server")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=9871)
+    s.add_argument("--config", nargs="*", help="YAML config path(s)")
+    s.add_argument("--vocab", help="vocabulary npz")
+    s.add_argument("--vocab-words", type=int, default=512)
+    s.add_argument("--output-dir", default="output")
+    s.add_argument("--placerec-type", choices=["COVINS", "COVINS_G"])
+    s.set_defaults(fn=cmd_server)
+
+    a = sub.add_parser("agent", help="run a replay agent")
+    a.add_argument("--host", default="127.0.0.1")
+    a.add_argument("--port", type=int, default=9871)
+    a.add_argument("--synthetic", action="store_true", default=True)
+    a.add_argument("--euroc", help="EuRoC sequence directory (mav0)")
+    a.add_argument("--keyframes", type=int, default=40)
+    a.add_argument("--landmarks", type=int, default=800)
+    a.add_argument("--world-seed", type=int, default=0)
+    a.add_argument("--t0", type=float, default=0.0)
+    a.add_argument("--drift", type=float, default=0.0)
+    a.set_defaults(fn=cmd_agent)
+
+    d = sub.add_parser("admin", help="admin verbs (gba/pgo/savemap/loadmap/prunemap/stats)")
+    d.add_argument("verb", choices=["gba", "pgo", "savemap", "loadmap",
+                                    "prunemap", "stats"])
+    d.add_argument("--host", default="127.0.0.1")
+    d.add_argument("--port", type=int, default=9871)
+    d.add_argument("--map-id", type=int, default=None)
+    d.add_argument("--path")
+    d.add_argument("--max-num-kfs", type=int, default=None)
+    d.add_argument("--visual-only", action="store_true")
+    d.set_defaults(fn=cmd_admin)
+
+    e = sub.add_parser("ate", help="ATE RMSE of a TUM trajectory vs ground truth")
+    e.add_argument("--est", required=True)
+    e.add_argument("--gt", required=True)
+    e.add_argument("--max-dt", type=float, default=0.05)
+    e.add_argument("--no-scale", action="store_true")
+    e.set_defaults(fn=cmd_ate)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

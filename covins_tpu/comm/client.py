@@ -1,0 +1,58 @@
+"""Agent-side client: connect, receive the id handshake, stream messages.
+
+The counterpart of the reference's agent `Communicator`
+(`orb_slam3/src/comm/communicator.cpp:54-139` and
+`CommunicatorBase::ConnectToServer`, `communicator_base.cpp:65-108`), as a
+small synchronous socket wrapper usable from any front-end/replay process.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+from typing import Optional
+
+from covins_tpu.comm import messages as msgs
+from covins_tpu.comm import wire
+
+
+class AgentClient:
+    def __init__(self, host: str = "127.0.0.1", port: int = 9871,
+                 timeout: float = 30.0):
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.client_id = self._recv_handshake()
+
+    def _recv_exact(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("server closed connection")
+            buf += chunk
+        return buf
+
+    def _recv_handshake(self) -> int:
+        hdr = self._recv_exact(wire.HEADER_SIZE)
+        msg_type, plen = wire.parse_header(hdr)
+        payload = self._recv_exact(plen)
+        assert msg_type == msgs.MSG_HANDSHAKE
+        return int(json.loads(payload)["client_id"])
+
+    def send(self, msg) -> None:
+        self.sock.sendall(wire.encode_message(msg))
+
+    def admin(self, verb: str, **kw) -> dict:
+        from covins_tpu.comm.server import MSG_ADMIN, MSG_ADMIN_REPLY
+        cmd = {"verb": verb, **kw}
+        self.sock.sendall(wire.frame(MSG_ADMIN, json.dumps(cmd).encode()))
+        hdr = self._recv_exact(wire.HEADER_SIZE)
+        msg_type, plen = wire.parse_header(hdr)
+        payload = self._recv_exact(plen)
+        assert msg_type == MSG_ADMIN_REPLY
+        return json.loads(payload)
+
+    def finish(self):
+        try:
+            self.sock.sendall(wire.frame(msgs.MSG_FINISH, b""))
+        finally:
+            self.sock.close()

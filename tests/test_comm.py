@@ -1,0 +1,128 @@
+"""Wire protocol + TCP server end-to-end tests."""
+
+import asyncio
+import socket
+import threading
+import time
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from covins_tpu.agents.synthetic_agent import SyntheticAgent, SyntheticWorld
+from covins_tpu.comm import messages as msgs, wire
+from covins_tpu.comm.client import AgentClient
+from covins_tpu.comm.server import CovinsServer
+from covins_tpu.ops import bow as bow_ops
+from covins_tpu.utils.config import Config
+
+
+def test_record_roundtrip():
+    rec = {
+        "f64": np.arange(12, dtype=np.float64).reshape(3, 4),
+        "u8": np.arange(8, dtype=np.uint8),
+        "scalar": np.float64(3.5),
+        "i64pair": np.asarray([3, 1], np.int64),
+        "name": "hello world",
+        "nothing": None,
+    }
+    buf = wire.encode_record(rec)
+    out = wire.decode_record(memoryview(buf))
+    assert set(out) == set(rec)
+    np.testing.assert_array_equal(out["f64"], rec["f64"])
+    np.testing.assert_array_equal(out["u8"], rec["u8"])
+    assert float(out["scalar"]) == 3.5
+    assert out["name"] == "hello world"
+    assert out["nothing"] is None
+
+
+def test_message_roundtrip():
+    world = SyntheticWorld.create(n_landmarks=50, seed=3)
+    agent = SyntheticAgent(world, client_id=2, n_keyframes=3)
+    for msg in agent.messages():
+        blob = wire.encode_message(msg)
+        msg_type, plen = wire.parse_header(blob[: wire.HEADER_SIZE])
+        out = wire.decode_message(msg_type, memoryview(blob[wire.HEADER_SIZE:]))
+        assert type(out) is type(msg)
+        assert tuple(out.id) == tuple(msg.id)
+        if isinstance(msg, msgs.MsgKeyframe):
+            np.testing.assert_array_equal(out.descriptors, msg.descriptors)
+            np.testing.assert_allclose(out.keypoints, msg.keypoints)
+            if msg.preintegration is not None:
+                np.testing.assert_allclose(
+                    out.preintegration.acc, msg.preintegration.acc
+                )
+            if msg.calibration is not None:
+                np.testing.assert_allclose(
+                    out.calibration.intrinsics, msg.calibration.intrinsics
+                )
+        else:
+            np.testing.assert_allclose(out.pos_ref, msg.pos_ref)
+            assert out.observations == msg.observations
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture()
+def server():
+    world = SyntheticWorld.create(n_landmarks=300, seed=1)
+    vocab = np.asarray(
+        bow_ops.train_vocabulary(jnp.asarray(world.lm_descs), k=64, iters=3)
+    )
+    cfg = Config(
+        placerec_type="COVINS", start_after_kf=2, consecutive_loop_dist=6,
+        min_loop_dist=6, exclude_kfs_with_id_less_than=2,
+        cov_consistency_thres=2, matches_thres=12, matches_thres_merge=12,
+        inliers_thres=12, ransac_min_inliers=5, perform_pgo=False,
+        activate_lm_culling=False,
+    )
+    port = _free_port()
+    srv = CovinsServer(vocab, cfg, host="127.0.0.1", port=port,
+                       output_dir="/tmp/covins_test_out")
+    loop = asyncio.new_event_loop()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(srv.serve())
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    time.sleep(0.3)
+    yield srv, port, world
+    loop.call_soon_threadsafe(loop.stop)
+    srv._stop.set()
+
+
+def test_server_end_to_end(server):
+    srv, port, world = server
+    client = AgentClient("127.0.0.1", port)
+    assert client.client_id == 0
+    agent = SyntheticAgent(world, client_id=client.client_id, n_keyframes=12)
+    for msg in agent.messages():
+        client.send(msg)
+    # admin stats over the same socket (messages are processed async,
+    # admin waits for the worker, so a round trip flushes the queue)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        stats = client.admin("stats")
+        if stats["result"]["maps"].get("0", {}).get("n_kf") == 12:
+            break
+        time.sleep(0.2)
+    assert stats["result"]["maps"]["0"]["n_kf"] == 12
+    assert stats["result"]["maps"]["0"]["n_lm"] > 30
+    client.finish()
+    # finish triggers trajectory write-out
+    deadline = time.time() + 20
+    import os
+    path = "/tmp/covins_test_out/KF_0_ftum.csv"
+    while time.time() < deadline and not os.path.exists(path):
+        time.sleep(0.2)
+    assert os.path.exists(path)
+    lines = open(path).read().strip().splitlines()
+    assert len(lines) == 12
