@@ -94,6 +94,7 @@ class SyntheticAgent:
         self.track_gap = 3
         self._lm_client_id: dict[int, int] = {}  # world idx -> client lm id
         self._lm_last_seen: dict[int, int] = {}
+        self.lm_world_idx: dict[int, int] = {}  # client lm id -> world idx
         self._next_lm_id = 0
         self._sent_lms: set[int] = set()
         # drifted "VIO" poses: what the front-end believes
@@ -167,6 +168,7 @@ class SyntheticAgent:
                 last = self._lm_last_seen.get(wi, -(10**9))
                 if k - last > self.track_gap:
                     self._lm_client_id[wi] = self._next_lm_id
+                    self.lm_world_idx[self._next_lm_id] = wi
                     self._next_lm_id += 1
                     new_world_idx.append((j, wi))
                 self._lm_last_seen[wi] = k

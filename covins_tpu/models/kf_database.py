@@ -51,7 +51,16 @@ class KeyframeDatabase:
         self._mask = m
 
     def bow_vector(self, descriptors_u8: np.ndarray) -> jnp.ndarray:
-        words = bow_ops.assign_words(jnp.asarray(descriptors_u8), self.vocab)
+        # pad the descriptor count to a power-of-two bucket so the jitted
+        # assignment kernel compiles once per bucket, not once per count
+        n = descriptors_u8.shape[0]
+        bucket = 128
+        while bucket < n:
+            bucket *= 2
+        padded = np.zeros((bucket,) + descriptors_u8.shape[1:], np.uint8)
+        padded[:n] = descriptors_u8
+        mask = jnp.arange(bucket) < n
+        words = bow_ops.assign_words(jnp.asarray(padded), self.vocab, mask=mask)
         return bow_ops.bow_vector(words, self.k_words)
 
     def add_keyframe(self, kf_id: tuple, descriptors_u8: np.ndarray) -> int:
@@ -81,8 +90,10 @@ class KeyframeDatabase:
         common_words) as numpy over database rows (invalid rows = -1).
         """
         qv = self.bow_vector(descriptors_u8)
-        db = self._db[: self.n]
-        mask = jnp.asarray(self._mask[: self.n])
+        # query at CAPACITY shape (stable jit signature); invalid rows are
+        # masked, results sliced to the live prefix afterwards
+        db = self._db
+        mask = jnp.asarray(self._mask)
         if exclude_rows is not None and len(exclude_rows):
             mask = mask.at[jnp.asarray(exclude_rows, jnp.int32)].set(False)
         scores = bow_ops.retrieval_scores(qv, db, mask)
@@ -90,7 +101,7 @@ class KeyframeDatabase:
         max_common = jnp.max(jnp.where(mask, common, 0))
         keep = common >= min_common_words_frac * max_common
         scores = jnp.where(keep & mask, scores, -1.0)
-        return np.asarray(scores), np.asarray(common)
+        return np.asarray(scores[: self.n]), np.asarray(common[: self.n])
 
 
 def train_vocabulary_from_maps(descriptor_batches, k=512, iters=6, seed=0):

@@ -585,25 +585,46 @@ class Map:
                 eS.append(np.diag([loop_default_rot_w] * 3
                                   + [loop_default_trans_w] * 3))
             eloop.append(True)
-        ne = max(len(ei), 1)
         if not ei:
             ei, ej = [0], [0]
             eT = [np.asarray(geo.pose_identity(np.float64))]
             eS = [np.zeros((6, 6))]
             eloop = [False]
-        fixed = np.zeros(n, bool)
+        # pad poses to row capacity and edges to a power-of-two bucket so
+        # the jitted PGO solve compiles once per capacity tier, not per call
+        n_cap = self.kf_ids.shape[0]
+        ne = len(ei)
+        e_cap = 64
+        while e_cap < ne:
+            e_cap *= 2
+        edge_mask = np.zeros(e_cap, bool)
+        edge_mask[:ne] = True
+        pad = e_cap - ne
+        ei = np.asarray(ei + [0] * pad, np.int32)
+        ej = np.asarray(ej + [0] * pad, np.int32)
+        eT = np.concatenate([np.stack(eT),
+                             np.tile(np.asarray(geo.pose_identity(np.float64)),
+                                     (pad, 1))]) if pad else np.stack(eT)
+        eS = np.concatenate([np.stack(eS), np.zeros((pad, 6, 6))]) if pad else np.stack(eS)
+        eloop = np.asarray(list(eloop) + [False] * pad)
+        poses_pad = np.zeros((n_cap, 7), np.float64)
+        poses_pad[:, 0] = 1.0
+        poses_pad[:n] = self.kf_pose[:n]
+        pose_mask = np.zeros(n_cap, bool)
+        pose_mask[:n] = self.kf_mask[:n]
+        fixed = np.zeros(n_cap, bool)
         live = self.live_kf_rows()
         if len(live):
             fixed[live[0]] = True
         return pgo_mod.PoseGraph(
-            poses=jnp.asarray(self.kf_pose[:n]),
-            pose_mask=jnp.asarray(self.kf_mask[:n]),
+            poses=jnp.asarray(poses_pad),
+            pose_mask=jnp.asarray(pose_mask),
             fixed=jnp.asarray(fixed),
-            edge_i=jnp.asarray(ei, jnp.int32),
-            edge_j=jnp.asarray(ej, jnp.int32),
-            edge_T=jnp.asarray(np.stack(eT)),
-            edge_sqrt_info=jnp.asarray(np.stack(eS)),
-            edge_mask=jnp.ones(ne, bool),
+            edge_i=jnp.asarray(ei),
+            edge_j=jnp.asarray(ej),
+            edge_T=jnp.asarray(eT),
+            edge_sqrt_info=jnp.asarray(eS),
+            edge_mask=jnp.asarray(edge_mask),
             edge_is_loop=jnp.asarray(eloop),
         )
 
@@ -771,9 +792,14 @@ class Map:
         if len(lm_rows) == 0:
             return
         o = self.n_obs
-        descs = np.zeros((len(lm_rows), max_obs_pad, self.desc_bytes), np.uint8)
-        centers = np.zeros((len(lm_rows), max_obs_pad, 3), np.float64)
-        mask = np.zeros((len(lm_rows), max_obs_pad), bool)
+        # pad the cohort to a power-of-two bucket for stable jit signatures
+        n_rows = len(lm_rows)
+        bucket = 64
+        while bucket < n_rows:
+            bucket *= 2
+        descs = np.zeros((bucket, max_obs_pad, self.desc_bytes), np.uint8)
+        centers = np.zeros((bucket, max_obs_pad, 3), np.float64)
+        mask = np.zeros((bucket, max_obs_pad), bool)
         for i, lr in enumerate(lm_rows):
             sel = np.where((self.obs_lm[:o] == lr) & self.obs_mask[:o])[0][:max_obs_pad]
             for j, oi in enumerate(sel):
@@ -781,17 +807,20 @@ class Map:
                 descs[i, j] = self.descriptors[kr, ft]
                 centers[i, j] = self.kf_pose[kr, 4:7]
                 mask[i, j] = True
+        lm_pos_pad = np.zeros((bucket, 3), np.float64)
+        lm_pos_pad[:n_rows] = self.lm_pos[lm_rows]
         rep = np.asarray(
             landmark_ops.representative_descriptors(
                 jnp.asarray(descs), jnp.asarray(mask)
             )
-        )
+        )[:n_rows]
         nrm = np.asarray(
             landmark_ops.landmark_normals(
-                jnp.asarray(self.lm_pos[lm_rows]), jnp.asarray(centers),
+                jnp.asarray(lm_pos_pad), jnp.asarray(centers),
                 jnp.asarray(mask, jnp.float64),
             )
-        )
+        )[:n_rows]
+        mask = mask[:n_rows]
         any_obs = mask.any(axis=1)
         self.lm_desc[lm_rows[any_obs]] = rep[any_obs]
         self.lm_normal[lm_rows[any_obs]] = nrm[any_obs]

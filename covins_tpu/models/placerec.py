@@ -59,16 +59,35 @@ def _camera_of(mp: Map, client_id: int) -> cam_mod.Camera:
     )
 
 
+def _pad_rows(a: np.ndarray, base: int = 128):
+    """Zero-pad the leading axis to a power-of-two bucket (stable jit
+    signatures across the keyframe stream)."""
+    n = a.shape[0]
+    b = base
+    while b < n:
+        b *= 2
+    out = np.zeros((b,) + a.shape[1:], a.dtype)
+    out[:n] = a
+    return out, n
+
+
 def _covis_of(mp: Map, row: int) -> np.ndarray:
-    return np.asarray(
+    """Covisibility weights at CAPACITY shapes (the obs arrays beyond
+    n_obs are zero-filled with mask False, so passing the full buffers is
+    exact) — capacities double, so jit signatures stay stable across the
+    stream instead of retracing every keyframe."""
+    cap_kf = mp.kf_ids.shape[0]
+    cap_lm = max(mp.lm_ids.shape[0], 1)
+    w = np.asarray(
         cov_ops.covis_weights_for(
             jnp.asarray(row),
-            jnp.asarray(mp.obs_kf[: mp.n_obs]),
-            jnp.asarray(mp.obs_lm[: mp.n_obs]),
-            jnp.asarray(mp.obs_mask[: mp.n_obs]),
-            n_kf=max(mp.n_kf, 1), n_lm=max(mp.n_lm, 1),
+            jnp.asarray(mp.obs_kf),
+            jnp.asarray(mp.obs_lm),
+            jnp.asarray(mp.obs_mask),
+            n_kf=cap_kf, n_lm=cap_lm,
         )
     )
+    return w[: mp.n_kf]
 
 
 class PlaceRecognition:
@@ -193,12 +212,15 @@ class PlaceRecognition:
         thres = cfg.matches_thres if same_map else cfg.matches_thres_merge
         if len(q_lms) < 3 or len(c_lms) < 3:
             return None
-        dq = mp_q.descriptors[q_row, q_feats]
-        dc = mp_c.descriptors[c_row, c_feats]
+        dq, nq = _pad_rows(mp_q.descriptors[q_row, q_feats])
+        dc, nc = _pad_rows(mp_c.descriptors[c_row, c_feats])
         dist = d_ops.hamming_distance(jnp.asarray(dq), jnp.asarray(dc))
+        dist = d_ops.masked_dist(
+            dist, jnp.arange(dq.shape[0]) < nq, jnp.arange(dc.shape[0]) < nc
+        )
         midx = np.asarray(
             d_ops.match_mutual_nn(dist, max_dist=cfg.desc_matching_th_low)
-        )
+        )[:nq]
         matched = np.where(midx >= 0)[0]
         if len(matched) < min(thres, 8):
             return None
@@ -207,11 +229,15 @@ class PlaceRecognition:
         p_w_c = mp_c.lm_pos[c_lms[midx[matched]]]
         T_sq_w = geo.pose_inverse(jnp.asarray(mp_q.kf_pose[q_row]))
         T_sc_w = geo.pose_inverse(jnp.asarray(mp_c.kf_pose[c_row]))
-        p1 = geo.pose_apply(T_sq_w[None], jnp.asarray(p_w_q))
-        p2 = geo.pose_apply(T_sc_w[None], jnp.asarray(p_w_c))
+        p1 = np.asarray(geo.pose_apply(T_sq_w[None], jnp.asarray(p_w_q)))
+        p2 = np.asarray(geo.pose_apply(T_sc_w[None], jnp.asarray(p_w_c)))
+        p1, nm = _pad_rows(p1, base=64)
+        p2, _ = _pad_rows(p2, base=64)
+        match_mask = jnp.arange(p1.shape[0]) < nm
+        p1, p2 = jnp.asarray(p1), jnp.asarray(p2)
 
         out = align3d.align_ransac_3d3d(
-            self._next_key(), p1, p2, jnp.ones(len(matched), bool),
+            self._next_key(), p1, p2, match_mask,
             n_hypotheses=min(cfg.ransac_max_iterations, 512),
             threshold=0.5,
         )
@@ -221,7 +247,7 @@ class PlaceRecognition:
         cam_q = _camera_of(mp_q, int(mp_q.kf_ids[q_row, 1]))
         cam_c = _camera_of(mp_c, int(mp_c.kf_ids[c_row, 1]))
         T_opt, inl, n_inl = relpose.optimize_relative_pose(
-            cam_q, cam_c, out["T_12"], p1, p2, out["inliers"],
+            cam_q, cam_c, out["T_12"], p1, p2, out["inliers"] & match_mask,
             th_outlier=cfg.th_outlier_align,
         )
         if int(n_inl) < cfg.inliers_thres:
@@ -245,32 +271,34 @@ class PlaceRecognition:
                 rows.append(int(r))
             return rows
 
-        def rig_rays(mp, rows, anchor):
+        def rig_data(mp, rows, anchor):
+            """Rays + descriptors in a FIXED (len(rows) * max_features)
+            layout (stable jit signatures; invalid feature slots masked)."""
+            F = mp.max_features
             T_w_anchor = jnp.asarray(mp.kf_pose[anchor])
             cam = _camera_of(mp, int(mp.kf_ids[anchor, 1]))
-            origins, dirs = [], []
+            origins, dirs, descs, masks = [], [], [], []
             for r in rows:
-                nf = int(mp.kf_n_feat[r])
-                uv = jnp.asarray(mp.kp_undist[r, :nf], jnp.float64)
+                uv = jnp.asarray(mp.kp_undist[r], jnp.float64)  # (F, 2)
                 bear_c = cam_mod.back_project3(cam, uv)
                 T_anchor_r = geo.pose_relative(T_w_anchor, jnp.asarray(mp.kf_pose[r]))
                 T_anchor_cam = geo.pose_compose(T_anchor_r, cam.T_s_c)
                 d = geo.quat_rotate(geo.pose_q(T_anchor_cam)[None], bear_c)
-                o = jnp.broadcast_to(geo.pose_t(T_anchor_cam), d.shape)
-                origins.append(o)
+                origins.append(jnp.broadcast_to(geo.pose_t(T_anchor_cam), d.shape))
                 dirs.append(d)
-            return jnp.concatenate(origins), jnp.concatenate(dirs)
+                descs.append(mp.descriptors[r])
+                masks.append(np.arange(F) < int(mp.kf_n_feat[r]))
+            return (jnp.concatenate(origins), jnp.concatenate(dirs),
+                    np.concatenate(descs), np.concatenate(masks))
 
         q_rig = rig_rows(mp_q, q_row, 2)
         c_rig = rig_rows(mp_c, c_row, 3)
-        qo, qd = rig_rays(mp_q, q_rig, q_row)
-        co, cd = rig_rays(mp_c, c_rig, c_row)
-
-        dq = np.concatenate([mp_q.descriptors[r, : mp_q.kf_n_feat[r]] for r in q_rig])
-        dc = np.concatenate([mp_c.descriptors[r, : mp_c.kf_n_feat[r]] for r in c_rig])
-        if len(dq) < cfg.rel_min_img_matches or len(dc) < cfg.rel_min_img_matches:
+        qo, qd, dq, qmask = rig_data(mp_q, q_rig, q_row)
+        co, cd, dc, cmask = rig_data(mp_c, c_rig, c_row)
+        if qmask.sum() < cfg.rel_min_img_matches or cmask.sum() < cfg.rel_min_img_matches:
             return None
         dist = d_ops.hamming_distance(jnp.asarray(dq), jnp.asarray(dc))
+        dist = d_ops.masked_dist(dist, jnp.asarray(qmask), jnp.asarray(cmask))
         midx = np.asarray(d_ops.match_ratio(
             dist, max_dist=cfg.img_match_thres, ratio=cfg.ratio_thres
         ))
@@ -278,18 +306,22 @@ class PlaceRecognition:
         if len(matched) < max(cfg.rel_min_img_matches, 17):
             return None
 
-        va = qo[jnp.asarray(matched)]
-        fa = qd[jnp.asarray(matched)]
-        vb = co[jnp.asarray(midx[matched])]
-        fb = cd[jnp.asarray(midx[matched])]
+        qi, _ = _pad_rows(matched.astype(np.int32), base=64)
+        ci, _ = _pad_rows(midx[matched].astype(np.int32), base=64)
+        nm = len(matched)
+        match_mask = jnp.arange(len(qi)) < nm
+        va = qo[jnp.asarray(qi)]
+        fa = qd[jnp.asarray(qi)]
+        vb = co[jnp.asarray(ci)]
+        fb = cd[jnp.asarray(ci)]
         focal = float(mp_q.calib[int(mp_q.kf_ids[q_row, 1])].intrinsics[0])
         thr = math.atan2(cfg.nc_rp_error, focal)
         out = epipolar.relative_pose_ransac_noncentral(
-            self._next_key(), va, fa, vb, fb, jnp.ones(len(matched), bool),
+            self._next_key(), va, fa, vb, fb, match_mask,
             n_hypotheses=min(cfg.nc_max_iters, 512),
             threshold_rad=thr,
         )
-        min_inl = min(cfg.nc_min_inliers, max(17, int(0.5 * len(matched))))
+        min_inl = min(cfg.nc_min_inliers, max(17, int(0.5 * nm)))
         if int(out["n_inliers"]) < min_inl:
             return None
 

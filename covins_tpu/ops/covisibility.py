@@ -41,7 +41,7 @@ def covis_weights_for(query_kf, obs_kf, obs_lm, obs_mask, n_kf: int, n_lm: int):
     return counts.at[query_kf].set(0)
 
 
-@partial(jax.jit, static_argnames=("n_kf",))
+@partial(jax.jit, static_argnames=("n_kf", "n_lm"))
 def covis_weights_batch(query_kfs, obs_kf, obs_lm, obs_mask, n_kf: int, n_lm: int):
     """(Q,) query rows -> (Q, n_kf) covisibility counts."""
     return jax.vmap(

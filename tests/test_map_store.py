@@ -189,7 +189,8 @@ def test_update_landmark_attributes(world):
     live = np.where(mp.lm_mask[: mp.n_lm])[0]
     # representative descriptor close to the world signature (few bit flips)
     from covins_tpu.ops import descriptors as d_ops
-    sig = world.lm_descs[mp.lm_ids[live, 0]]
+    world_idx = np.asarray([agent.lm_world_idx[int(i)] for i in mp.lm_ids[live, 0]])
+    sig = world.lm_descs[world_idx]
     dist = np.asarray(d_ops.hamming_distance(
         jnp.asarray(mp.lm_desc[live]), jnp.asarray(sig)))
     diag = dist[np.arange(len(live)), np.arange(len(live))]

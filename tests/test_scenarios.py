@@ -1,0 +1,163 @@
+"""BASELINE.json scenario configs as synthetic integration tests.
+
+The five driver configs (BASELINE.json "configs") exercised end-to-end on
+the deterministic synthetic world (EuRoC datasets are not available in the
+test container; the EuRoC replay agent is covered by tests/test_euroc.py
+when a sequence directory is provided)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from covins_tpu.agents.synthetic_agent import SyntheticAgent, SyntheticWorld
+from covins_tpu.models.map_manager import MapManager
+from covins_tpu.models.session import AgentSession
+from covins_tpu.ops import bow as bow_ops
+from covins_tpu.utils import geometry as geo
+from covins_tpu.utils.config import Config
+
+
+@pytest.fixture(scope="module")
+def world():
+    return SyntheticWorld.create(n_landmarks=500, seed=2)
+
+
+@pytest.fixture(scope="module")
+def vocab(world):
+    return np.asarray(
+        bow_ops.train_vocabulary(jnp.asarray(world.lm_descs), k=128, iters=4)
+    )
+
+
+def _cfg(**kw):
+    base = dict(
+        placerec_type="COVINS", start_after_kf=2, consecutive_loop_dist=6,
+        min_loop_dist=6, exclude_kfs_with_id_less_than=2,
+        cov_consistency_thres=2, matches_thres=12, matches_thres_merge=12,
+        inliers_thres=12, ransac_min_inliers=5, perform_pgo=True,
+        activate_lm_culling=False, gba_iteration_limit=8,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def _drive(mgr, agents_cfg, world, cfg):
+    """Interleave N agents' message streams through sessions."""
+    sessions = {}
+    streams = {}
+    for cid, kw in agents_cfg.items():
+        sessions[cid] = AgentSession(cid, mgr, cfg)
+        streams[cid] = list(SyntheticAgent(world, cid, **kw).messages())
+    idx = {cid: 0 for cid in agents_cfg}
+    done = set()
+    while len(done) < len(agents_cfg):
+        for cid in agents_cfg:
+            if cid in done:
+                continue
+            i = idx[cid]
+            if i >= len(streams[cid]):
+                sessions[cid].flush()
+                done.add(cid)
+                continue
+            sessions[cid].ingest(streams[cid][i])
+            idx[cid] = i + 1
+    return sessions
+
+
+def _map_ate(mp, world_agents):
+    """ATE of all KF positions vs their GT trajectories."""
+    errs = []
+    for cid, agent in world_agents.items():
+        rows = mp.live_kf_rows(cid)
+        gt = np.asarray(agent.traj.poses)[mp.kf_ids[rows, 0]][:, 4:7]
+        est = mp.kf_pose[rows][:, 4:7]
+        errs.append(np.sum((est - gt) ** 2, -1))
+    e = np.concatenate(errs)
+    return float(np.sqrt(np.mean(e)))
+
+
+def test_config2_single_agent_vigba(world, vocab):
+    """single-agent full VI-GBA with Schur landmark elimination."""
+    cfg = _cfg(perform_pgo=False)
+    mgr = MapManager(vocab, cfg)
+    sess = AgentSession(0, mgr, cfg)
+    agent = SyntheticAgent(world, 0, n_keyframes=14, pose_drift=0.003)
+    for m in agent.messages():
+        sess.ingest(m)
+    sess.flush()
+    mp = mgr.map_of(0)
+    ate_before = _map_ate(mp, {0: agent})
+    info = mgr.run_gba(mp.id)
+    ate_after = _map_ate(mp, {0: agent})
+    assert np.asarray(info["costs"])[-1] < np.asarray(info["round1_costs"])[0]
+    assert ate_after < ate_before
+
+
+def test_config3_two_agent_fusion_joint_gba(world, vocab):
+    """2-agent map fusion via loop closure + joint GBA."""
+    cfg = _cfg()
+    mgr = MapManager(vocab, cfg)
+    agents = {0: dict(n_keyframes=16), 1: dict(n_keyframes=16, t0=1.0)}
+    _drive(mgr, agents, world, cfg)
+    assert mgr.n_merges >= 1
+    assert mgr.map_of_client[0] == mgr.map_of_client[1]
+    mp = mgr.map_of(0)
+    mgr.run_gba(mp.id)
+    ref_agents = {
+        cid: SyntheticAgent(world, cid, **kw) for cid, kw in agents.items()
+    }
+    assert _map_ate(mp, ref_agents) < 0.25
+
+
+def test_config4_five_agent_redundancy(world, vocab):
+    """5-agent collaborative session + redundancy removal + re-opt."""
+    cfg = _cfg(perform_pgo=False)
+    mgr = MapManager(vocab, cfg)
+    agents = {
+        cid: dict(n_keyframes=10, t0=0.5 * cid) for cid in range(5)
+    }
+    _drive(mgr, agents, world, cfg)
+    # all five agents eventually share one joint map
+    map_ids = {mgr.map_of_client[c] for c in range(5)}
+    assert len(map_ids) <= 2  # most merges happen; allow one straggler
+    mid = mgr.map_of_client[0]
+    mp = mgr.maps[mid]
+    n_before = int(mp.kf_mask[: mp.n_kf].sum())
+    removed = mp.remove_redundant_keyframes(
+        threshold=0.0, max_time_dist=2.0, target_kf_count=n_before - 4
+    )
+    assert removed >= 1
+    # re-optimization still runs after culling
+    mgr.run_pgo(mp)
+    assert int(mp.kf_mask[: mp.n_kf].sum()) == n_before - removed
+
+
+def test_config5_covins_g_generic_mode(world, vocab):
+    """COVINS-G mode: no map points needed for the loop transform."""
+    cfg = _cfg(placerec_type="COVINS_G", nc_min_inliers=30,
+               nc_cov_thres=100.0, perform_pgo=True)
+    mgr = MapManager(vocab, cfg)
+    agents = {0: dict(n_keyframes=16), 1: dict(n_keyframes=16, t0=1.0)}
+    _drive(mgr, agents, world, cfg)
+    assert mgr.n_loops + mgr.n_merges >= 1
+
+
+def test_visual_export(world, vocab, tmp_path):
+    import json
+    from covins_tpu.io import export
+
+    cfg = _cfg(perform_pgo=False)
+    mgr = MapManager(vocab, cfg)
+    sess = AgentSession(0, mgr, cfg)
+    agent = SyntheticAgent(world, 0, n_keyframes=12)
+    for m in agent.messages():
+        sess.ingest(m)
+    sess.flush()
+    mp = mgr.map_of(0)
+    path = str(tmp_path / "snap.json")
+    export.write_snapshot(mp, path, covis_thres=5)
+    snap = json.load(open(path))
+    assert "0" in snap["agents"]
+    assert len(snap["agents"]["0"]["poses"]) == 12
+    assert len(snap["covis_edges"]) > 0
+    assert len(snap["landmarks"]) > 20
