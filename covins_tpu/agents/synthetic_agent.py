@@ -44,13 +44,19 @@ class SyntheticWorld:
     calib: msgs.VICalibration
 
     @classmethod
-    def create(cls, n_landmarks=800, desc_bytes=32, seed=0):
+    def create(cls, n_landmarks=800, desc_bytes=32, seed=0, feat_type="ORB"):
         key = jax.random.PRNGKey(seed)
         k1, k2 = jax.random.split(key)
         lms = np.asarray(synthetic.generate_landmarks(k1, n=n_landmarks))
-        descs = np.asarray(
-            jax.random.randint(k2, (n_landmarks, desc_bytes), 0, 256, jnp.int32)
-        ).astype(np.uint8)
+        if feat_type == "SIFT":
+            d = np.asarray(jax.random.normal(k2, (n_landmarks, desc_bytes)))
+            descs = np.abs(d).astype(np.float32)
+            descs *= 512.0 / np.linalg.norm(descs, axis=-1, keepdims=True)
+        else:
+            descs = np.asarray(
+                jax.random.randint(k2, (n_landmarks, desc_bytes), 0, 256,
+                                   jnp.int32)
+            ).astype(np.uint8)
         calib = msgs.VICalibration(
             T_s_c=_forward_camera_extrinsic(),
             cam_model=cam_mod.PINHOLE,
@@ -143,6 +149,9 @@ class SyntheticAgent:
 
     def _noisy_desc(self, lm_idx: int) -> np.ndarray:
         d = self.world.lm_descs[lm_idx].copy()
+        if d.dtype != np.uint8:  # SIFT: additive noise, keep norm
+            d = d + self.rng.normal(0.0, 8.0, d.shape).astype(np.float32)
+            return np.abs(d).astype(np.float32)
         for _ in range(self.desc_bit_flips):
             bit = self.rng.integers(0, d.size * 8)
             d[bit // 8] ^= np.uint8(1 << (bit % 8))
@@ -158,7 +167,8 @@ class SyntheticAgent:
             idx, uv = self.visible_landmarks(k)
             uv = uv + self.rng.normal(0.0, self.px_noise, uv.shape)
             descs = np.stack([self._noisy_desc(i) for i in idx]) if len(idx) else (
-                np.zeros((0, 32), np.uint8))
+                np.zeros((0,) + self.world.lm_descs.shape[1:],
+                         self.world.lm_descs.dtype))
             aors = np.zeros((len(idx), 4), np.float32)  # octave 0
             # client landmark ids with track-loss semantics
             lm_ids = np.empty(len(idx), np.int64)

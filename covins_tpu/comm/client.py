@@ -18,9 +18,15 @@ from covins_tpu.comm import wire
 
 class AgentClient:
     def __init__(self, host: str = "127.0.0.1", port: int = 9871,
-                 timeout: float = 30.0):
+                 timeout: float = 30.0, resume_client_id: Optional[int] = None):
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self.client_id = self._recv_handshake()
+        if resume_client_id is not None:
+            self.sock.sendall(wire.frame(
+                msgs.MSG_HANDSHAKE,
+                json.dumps({"resume_client_id": resume_client_id}).encode(),
+            ))
+            self.client_id = resume_client_id
 
     def _recv_exact(self, n: int) -> bytes:
         buf = b""

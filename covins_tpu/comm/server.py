@@ -160,6 +160,15 @@ class CovinsServer:
                 payload = await reader.readexactly(plen)
                 if msg_type == msgs.MSG_FINISH:
                     break
+                if msg_type == msgs.MSG_HANDSHAKE:
+                    # resume request: re-attach to an existing session
+                    # (improvement over the reference, which fatals on a
+                    # reconnecting agent's duplicate KF ids, readme.md:315-318)
+                    req = json.loads(bytes(payload))
+                    rid = int(req.get("resume_client_id", -1))
+                    if rid in self.sessions:
+                        client_id = rid
+                    continue
                 if msg_type == MSG_ADMIN:
                     cmd = json.loads(bytes(payload))
                     reply: dict = {}

@@ -30,8 +30,11 @@ class KeyframeDatabase:
     """Append-only BoW database over all keyframes of all maps."""
 
     def __init__(self, vocabulary: np.ndarray, capacity: int = 1024):
-        """vocabulary: (V, B) uint8 binary word centers."""
+        """vocabulary: (V, B) uint8 binary word centers (ORB) or (V, D)
+        float centers (SIFT mode, `feat.type: SIFT`) — the metric is
+        selected by the vocabulary dtype."""
         self.vocab = jnp.asarray(vocabulary)
+        self.metric = "hamming" if vocabulary.dtype == np.uint8 else "l2"
         self.k_words = vocabulary.shape[0]
         self._db = jnp.zeros((capacity, self.k_words), jnp.float32)
         self._mask = np.zeros(capacity, bool)
@@ -50,17 +53,22 @@ class KeyframeDatabase:
         m[:cap] = self._mask
         self._mask = m
 
-    def bow_vector(self, descriptors_u8: np.ndarray) -> jnp.ndarray:
+    def bow_vector(self, descriptors: np.ndarray) -> jnp.ndarray:
         # pad the descriptor count to a power-of-two bucket so the jitted
         # assignment kernel compiles once per bucket, not once per count
-        n = descriptors_u8.shape[0]
+        n = descriptors.shape[0]
         bucket = 128
         while bucket < n:
             bucket *= 2
-        padded = np.zeros((bucket,) + descriptors_u8.shape[1:], np.uint8)
-        padded[:n] = descriptors_u8
+        padded = np.zeros((bucket,) + descriptors.shape[1:], descriptors.dtype)
+        padded[:n] = descriptors
         mask = jnp.arange(bucket) < n
-        words = bow_ops.assign_words(jnp.asarray(padded), self.vocab, mask=mask)
+        if self.metric == "hamming":
+            words = bow_ops.assign_words(jnp.asarray(padded), self.vocab, mask=mask)
+        else:
+            words = bow_ops.assign_words_l2(
+                jnp.asarray(padded, self.vocab.dtype), self.vocab, mask=mask
+            )
         return bow_ops.bow_vector(words, self.k_words)
 
     def add_keyframe(self, kf_id: tuple, descriptors_u8: np.ndarray) -> int:

@@ -37,7 +37,11 @@ class MapManager:
     # ------------------------------------------------------------- registry
     def init_map(self, client_id: int) -> Map:
         """`MapManager::InitializeMap` — one fresh map per new agent."""
-        mp = Map(self._next_map_id)
+        mp = Map(
+            self._next_map_id,
+            desc_bytes=self.cfg.desc_length,
+            desc_dtype=(np.float32 if self.cfg.feat_type == "SIFT" else np.uint8),
+        )
         self.maps[mp.id] = mp
         self.map_of_client[client_id] = mp.id
         self._next_map_id += 1

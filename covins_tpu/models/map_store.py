@@ -54,6 +54,7 @@ class Map:
         map_id: int,
         max_features: int = 1024,
         desc_bytes: int = 32,
+        desc_dtype=np.uint8,
         kf_capacity: int = 256,
         lm_capacity: int = 4096,
         obs_capacity: int = 16384,
@@ -61,7 +62,8 @@ class Map:
         self.id = map_id
         self.associated_clients: set[int] = set()
         self.max_features = max_features
-        self.desc_bytes = desc_bytes
+        self.desc_bytes = desc_bytes  # descriptor width (bytes for ORB, dims for SIFT)
+        self.desc_dtype = np.dtype(desc_dtype)
 
         # --- keyframe SoA ---------------------------------------------------
         k = kf_capacity
@@ -82,7 +84,7 @@ class Map:
         self.kp_uv = np.zeros((k, f, 2), np.float32)
         self.kp_undist = np.zeros((k, f, 2), np.float32)
         self.kp_aors = np.zeros((k, f, 4), np.float32)
-        self.descriptors = np.zeros((k, f, desc_bytes), np.uint8)
+        self.descriptors = np.zeros((k, f, desc_bytes), desc_dtype)
         self.kf_feat_lm = np.full((k, f), -1, np.int32)  # feature -> lm row
         # IMU raw samples (padded per KF window) for re-propagation
         self.imu_max_samples = 256
@@ -99,7 +101,7 @@ class Map:
         self.lm_pos = np.zeros((m, 3), np.float64)  # world frame
         self.lm_ref = np.full(m, -1, np.int32)  # reference KF row
         self.lm_mask = np.zeros(m, bool)
-        self.lm_desc = np.zeros((m, desc_bytes), np.uint8)
+        self.lm_desc = np.zeros((m, desc_bytes), desc_dtype)
         self.lm_normal = np.zeros((m, 3), np.float64)
         self.lm_first_kf = np.full(m, -1, np.int32)
 
@@ -528,6 +530,7 @@ class Map:
             int(z["map_id"]),
             max_features=z["descriptors"].shape[1] if n_kf else 1024,
             desc_bytes=z["descriptors"].shape[2] if n_kf else 32,
+            desc_dtype=z["descriptors"].dtype if n_kf else np.uint8,
             kf_capacity=max(n_kf, 16),
             lm_capacity=max(n_lm, 16),
             obs_capacity=max(n_obs, 16),
@@ -788,6 +791,10 @@ class Map:
 
         if lm_rows is None:
             lm_rows = np.where(self.lm_mask[: self.n_lm])[0]
+        if self.desc_dtype != np.uint8:
+            # SIFT mode (COVINS-G only): landmark descriptors/normals are
+            # not used by the 2D-only pipeline
+            return
         lm_rows = np.asarray(lm_rows, np.int32)
         if len(lm_rows) == 0:
             return
@@ -797,7 +804,7 @@ class Map:
         bucket = 64
         while bucket < n_rows:
             bucket *= 2
-        descs = np.zeros((bucket, max_obs_pad, self.desc_bytes), np.uint8)
+        descs = np.zeros((bucket, max_obs_pad, self.desc_bytes), self.desc_dtype)
         centers = np.zeros((bucket, max_obs_pad, 3), np.float64)
         mask = np.zeros((bucket, max_obs_pad), bool)
         for i, lr in enumerate(lm_rows):

@@ -297,7 +297,14 @@ class PlaceRecognition:
         co, cd, dc, cmask = rig_data(mp_c, c_rig, c_row)
         if qmask.sum() < cfg.rel_min_img_matches or cmask.sum() < cfg.rel_min_img_matches:
             return None
-        dist = d_ops.hamming_distance(jnp.asarray(dq), jnp.asarray(dc))
+        if dq.dtype == np.uint8:
+            dist = d_ops.hamming_distance(jnp.asarray(dq), jnp.asarray(dc))
+        else:
+            # SIFT mode (`feat.type: SIFT`): L2 matching, FLANN role
+            # (`placerec_gen_be.cpp:82-126`); thresholds are linear L2
+            dist = jnp.sqrt(
+                d_ops.l2_distance_sq(jnp.asarray(dq), jnp.asarray(dc))
+            )
         dist = d_ops.masked_dist(dist, jnp.asarray(qmask), jnp.asarray(cmask))
         midx = np.asarray(d_ops.match_ratio(
             dist, max_dist=cfg.img_match_thres, ratio=cfg.ratio_thres

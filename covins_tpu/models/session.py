@@ -24,22 +24,32 @@ from covins_tpu.comm import messages as msgs
 from covins_tpu.models.map_manager import MapManager
 from covins_tpu.models.placerec import PlaceRecognition
 from covins_tpu.utils.config import Config
+from covins_tpu.utils.metrics import Metrics
 
 
 class AgentSession:
-    """Server-side state for one connected agent."""
+    """Server-side state for one connected agent.
+
+    Unlike the reference — which fatally errors when an agent re-sends a
+    known keyframe id after a front-end reset (`readme.md:315-318`) —
+    sessions are RESUMABLE: duplicate keyframes/landmarks are skipped, so
+    an agent may reconnect and replay from anywhere in its stream.
+    """
 
     def __init__(self, client_id: int, manager: MapManager,
-                 config: Optional[Config] = None):
+                 config: Optional[Config] = None,
+                 metrics: Optional[Metrics] = None):
         self.client_id = client_id
         self.manager = manager
         self.cfg = config or manager.cfg
+        self.metrics = metrics or Metrics()
         self.map = manager.init_map(client_id)
         self.placerec = PlaceRecognition(
             client_id, manager.database, manager.resolve, self.cfg
         )
         self._pending_kf_id: Optional[tuple] = None
-        self.stats = {"keyframes": 0, "landmarks": 0, "loops": 0, "merges": 0}
+        self.stats = {"keyframes": 0, "landmarks": 0, "loops": 0,
+                      "merges": 0, "duplicates": 0}
 
     def _current_map(self):
         return self.manager.map_of(self.client_id)
@@ -47,16 +57,24 @@ class AgentSession:
     def ingest(self, msg) -> Optional[str]:
         """Feed one message.  Returns 'loop'/'merge' when one was closed."""
         if isinstance(msg, msgs.MsgKeyframe):
-            out = self._finalize_pending()
             mp = self._current_map()
-            mp.add_keyframe(msg)
+            if mp.kf_row(tuple(msg.id)) >= 0:  # resumed agent replaying
+                self.stats["duplicates"] += 1
+                return None
+            out = self._finalize_pending()
+            with self.metrics.timer("ingest_kf"):
+                mp.add_keyframe(msg)
             self._pending_kf_id = tuple(msg.id)
             self.stats["keyframes"] += 1
+            self.metrics.count("keyframes")
             if self.cfg.activate_lm_culling:
                 mp.landmark_culling(min_obs=2, max_gap=5)
             return out
         if isinstance(msg, msgs.MsgLandmark):
             mp = self._current_map()
+            if mp.lm_row(tuple(msg.id)) >= 0:
+                self.stats["duplicates"] += 1
+                return None
             mp.add_landmark(msg)
             self.stats["landmarks"] += 1
             return None
@@ -80,7 +98,8 @@ class AgentSession:
         o = mp.n_obs
         sel = (mp.obs_kf[:o] == row) & mp.obs_mask[:o]
         mp.update_landmark_attributes(np.unique(mp.obs_lm[:o][sel]))
-        loop = self.placerec.process_keyframe(mp, row)
+        with self.metrics.timer("placerec"):
+            loop = self.placerec.process_keyframe(mp, row)
         if loop is None:
             return None
         outcome = self.manager.handle_loop(loop)

@@ -65,6 +65,36 @@ def assign_words(descs_u8, vocab_u8, mask=None):
     return w
 
 
+def train_vocabulary_l2(descs, k=1024, iters=8, seed=0):
+    """Standard k-means over float descriptors (SIFT mode,
+    `config_backend.yaml` feat.type: SIFT / desc_length 128)."""
+    n = descs.shape[0]
+    key = jax.random.PRNGKey(seed)
+    centers = descs[jax.random.choice(key, n, (k,), replace=n < k)]
+
+    def step(centers, _):
+        d = desc.l2_distance_sq(descs, centers)  # (n, k)
+        assign = jnp.argmin(d, axis=1)
+        one_hot = jax.nn.one_hot(assign, k, dtype=descs.dtype)
+        counts = one_hot.sum(0)
+        sums = one_hot.T @ descs
+        new = sums / jnp.maximum(counts[:, None], 1.0)
+        new = jnp.where(counts[:, None] > 0, new, centers)
+        return new, None
+
+    centers, _ = jax.lax.scan(step, centers, None, length=iters)
+    return centers
+
+
+def assign_words_l2(descs, vocab, mask=None):
+    """Float descriptors -> word ids by L2 argmin."""
+    d = desc.l2_distance_sq(descs, vocab)
+    w = jnp.argmin(d, axis=1).astype(jnp.int32)
+    if mask is not None:
+        w = jnp.where(mask, w, -1)
+    return w
+
+
 def bow_vector(word_ids, k, idf=None):
     """Word ids (N,) (−1 = invalid) -> L2-normalized tf-idf vector (k,)."""
     valid = word_ids >= 0

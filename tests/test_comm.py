@@ -99,6 +99,36 @@ def server():
     srv._stop.set()
 
 
+def test_agent_reconnect_resume(server):
+    """An agent that drops mid-stream and reconnects with its old id
+    replays from the start; duplicates are skipped (the reference fatals
+    on this, readme.md:315-318 — here it is supported)."""
+    srv, port, world = server
+    agent = SyntheticAgent(world, client_id=0, n_keyframes=10)
+    stream = list(agent.messages())
+    c1 = AgentClient("127.0.0.1", port)
+    cid = c1.client_id
+    for m in stream[: len(stream) // 2]:
+        c1.send(m)
+    c1.sock.close()  # abrupt hang-up, no FINISH
+    time.sleep(0.5)
+
+    c2 = AgentClient("127.0.0.1", port, resume_client_id=cid)
+    assert c2.client_id == cid
+    for m in stream:  # replay EVERYTHING from the start
+        c2.send(m)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        stats = c2.admin("stats")
+        sess = stats["result"]["sessions"].get(str(cid), {})
+        if sess.get("keyframes") == 10:
+            break
+        time.sleep(0.2)
+    assert sess["keyframes"] == 10
+    assert sess["duplicates"] > 0
+    c2.finish()
+
+
 def test_server_end_to_end(server):
     srv, port, world = server
     client = AgentClient("127.0.0.1", port)
