@@ -130,26 +130,20 @@ class MapManager:
 
     # ----------------------------------------------------------------- PGO
     def run_pgo(self, mp: Map):
-        g = mp.to_pose_graph()
-        g = self._weight_pose_graph(g)
+        cfg = self.cfg
+        g = mp.to_pose_graph(
+            wt_kf_R=cfg.wt_kf_R, wt_kf_T=cfg.wt_kf_T,
+            use_nbr_kfs=cfg.use_nbr_kfs,
+            wt_kf_n1=cfg.wt_kf_n1, wt_kf_n23=cfg.wt_kf_n23,
+            wt_kf_n45=cfg.wt_kf_n45,
+            fix_optimized_kfs=cfg.pgo_fix_kfs_after_gba,
+        )
         poses, _ = pgo_mod.optimize_pose_graph(
             g, n_gn=self.cfg.pgo_iteration_limit, n_cg=100,
             cauchy_scale=(self.cfg.robust_loss_threshold
                           if self.cfg.use_robust_loss else 0.0),
         )
         mp.apply_pose_graph_result(np.asarray(poses))
-
-    def _weight_pose_graph(self, g):
-        """Apply the reference's successor-edge weights (wt_kf_R/wt_kf_T,
-        `optimization_be.cpp:946-972`) to non-loop edges."""
-        cfg = self.cfg
-        S = np.array(g.edge_sqrt_info)  # mutable copy
-        is_loop = np.asarray(g.edge_is_loop)
-        w = np.diag([cfg.wt_kf_R * cfg.wt_kf_n1] * 3 +
-                    [cfg.wt_kf_T * cfg.wt_kf_n1] * 3)
-        S[~is_loop] = w[None]
-        import dataclasses as _dc
-        return _dc.replace(g, edge_sqrt_info=jnp.asarray(S))
 
     # --------------------------------------------------------------- admin
     def run_gba(self, map_id: int, visual_only: bool = False):

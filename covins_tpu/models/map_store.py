@@ -80,6 +80,7 @@ class Map:
         self.kf_mask = np.zeros(k, bool)
         self.kf_is_loop = np.zeros(k, bool)
         self.kf_pose_optimized = np.zeros(k, bool)
+        self.kf_in_gba = np.zeros(k, bool)  # for opt.pgo_fix_kfs_after_gba
         self.kf_n_feat = np.zeros(k, np.int32)
         self.kp_uv = np.zeros((k, f, 2), np.float32)
         self.kp_undist = np.zeros((k, f, 2), np.float32)
@@ -135,7 +136,7 @@ class Map:
         for name in (
             "kf_ids", "kf_stamp", "kf_pose", "kf_pose_vio", "kf_vel",
             "kf_bias", "kf_pred", "kf_succ", "kf_mask", "kf_is_loop",
-            "kf_pose_optimized", "kf_n_feat", "kp_uv", "kp_undist",
+            "kf_pose_optimized", "kf_in_gba", "kf_n_feat", "kp_uv", "kp_undist",
             "kp_aors", "descriptors", "kf_feat_lm", "imu_acc", "imu_gyro",
             "imu_dts", "imu_n",
         ):
@@ -423,7 +424,7 @@ class Map:
         R = np.asarray(geo.quat_to_matrix(T[:4]))
         for name in (
             "kf_ids", "kf_stamp", "kf_vel", "kf_bias", "kf_mask",
-            "kf_is_loop", "kf_pose_optimized", "kf_n_feat", "kp_uv",
+            "kf_is_loop", "kf_pose_optimized", "kf_in_gba", "kf_n_feat", "kp_uv",
             "kp_undist", "kp_aors", "descriptors", "imu_acc", "imu_gyro",
             "imu_dts", "imu_n", "kf_pose_vio",
         ):
@@ -499,7 +500,7 @@ class Map:
         for name in (
             "kf_ids", "kf_stamp", "kf_pose", "kf_pose_vio", "kf_vel",
             "kf_bias", "kf_pred", "kf_succ", "kf_mask", "kf_is_loop",
-            "kf_pose_optimized", "kf_n_feat", "kp_uv", "kp_undist",
+            "kf_pose_optimized", "kf_in_gba", "kf_n_feat", "kp_uv", "kp_undist",
             "kp_aors", "descriptors", "kf_feat_lm", "imu_acc", "imu_gyro",
             "imu_dts", "imu_n",
         ):
@@ -559,26 +560,55 @@ class Map:
             rows = rows[self.kf_ids[rows, 1] == client_id]
         return rows
 
-    def to_pose_graph(self, loop_default_rot_w=100.0, loop_default_trans_w=1e4):
+    def to_pose_graph(
+        self,
+        loop_default_rot_w=100.0,
+        loop_default_trans_w=1e4,
+        wt_kf_R=10.0,
+        wt_kf_T=1.0,
+        use_nbr_kfs=True,
+        wt_kf_n1=10.0,
+        wt_kf_n23=2.0,
+        wt_kf_n45=3.0,
+        fix_optimized_kfs=False,
+    ):
         """Build a `covins_tpu.ops.pgo.PoseGraph` snapshot: successor edges
-        from VIO poses (`optimization_be.cpp:946-972`), loop edges from the
+        from VIO poses (`optimization_be.cpp:946-972`), optional decaying
+        -weight edges to the 2nd..5th predecessors (`:974-1021`, weights
+        wt_kf_n1 / n23 / n45 as rot/trans multipliers), loop edges from the
         recorded constraints weighted by their covariance when present
-        (`:889-944`)."""
+        (`:889-944`).  `fix_optimized_kfs` implements
+        `opt.pgo_fix_kfs_after_gba` (`:875-881`)."""
         import jax.numpy as jnp
         from covins_tpu.ops import pgo as pgo_mod
         from covins_tpu.ops import residuals as res_mod
 
         n = self.n_kf
         ei, ej, eT, eS, eloop = [], [], [], [], []
+
+        def odo_edge(r, s, mult):
+            T_ij = np.asarray(
+                geo.pose_relative(self.kf_pose_vio[r], self.kf_pose_vio[s])
+            )
+            ei.append(int(r)); ej.append(int(s)); eT.append(T_ij)
+            eS.append(np.diag([wt_kf_R * mult] * 3 + [wt_kf_T * mult] * 3))
+            eloop.append(False)
+
         for r in range(n):
             s = self.kf_succ[r]
             if s < 0 or not (self.kf_mask[r] and self.kf_mask[s]):
                 continue
-            T_ij = np.asarray(
-                geo.pose_relative(self.kf_pose_vio[r], self.kf_pose_vio[s])
-            )
-            ei.append(r); ej.append(int(s)); eT.append(T_ij)
-            eS.append(np.diag([1.0] * 6)); eloop.append(False)
+            odo_edge(r, s, wt_kf_n1)
+            if use_nbr_kfs:
+                # walk further successors: neighbors 2,3 and 4,5 with
+                # decaying weights (the reference divides n1 by n23/n45)
+                t = int(s)
+                for hop in (2, 3, 4, 5):
+                    t = self.kf_succ[t]
+                    if t < 0 or not self.kf_mask[t]:
+                        break
+                    div = wt_kf_n23 if hop <= 3 else wt_kf_n45
+                    odo_edge(r, t, wt_kf_n1 / max(div, 1e-6))
         for lc in self.loops:
             ei.append(lc["kf1"]); ej.append(lc["kf2"]); eT.append(lc["T_12"])
             if lc.get("cov") is not None:
@@ -619,6 +649,8 @@ class Map:
         live = self.live_kf_rows()
         if len(live):
             fixed[live[0]] = True
+        if fix_optimized_kfs:
+            fixed[:n] |= self.kf_in_gba[:n]
         return pgo_mod.PoseGraph(
             poses=jnp.asarray(poses_pad),
             pose_mask=jnp.asarray(pose_mask),
@@ -779,6 +811,7 @@ class Map:
         self.kf_vel[:n][live] = np.asarray(problem.vels)[:n][live]
         self.kf_bias[:n][live] = np.asarray(problem.biases)[:n][live]
         self.kf_pose_optimized[:n][live] = True
+        self.kf_in_gba[:n][live] = True
         lml = self.lm_mask[:m]
         self.lm_pos[:m][lml] = np.asarray(problem.lms)[:m][lml]
         self.obs_mask[: self.n_obs] = np.asarray(problem.obs_mask)

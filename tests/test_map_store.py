@@ -159,8 +159,11 @@ def test_pose_graph_snapshot_and_apply(world):
     agent = SyntheticAgent(world, client_id=0, n_keyframes=10, pose_drift=0.01)
     mp = Map(0)
     _ingest(mp, agent)
-    g = mp.to_pose_graph()
+    g = mp.to_pose_graph(use_nbr_kfs=False)
     assert int(g.edge_mask.sum()) == 9  # successor chain
+    g_nbr = mp.to_pose_graph(use_nbr_kfs=True)
+    # neighbors 2..5 add 8+7+6+5 edges for a 10-KF chain
+    assert int(g_nbr.edge_mask.sum()) == 9 + 8 + 7 + 6 + 5
     # apply identity "optimization": landmarks/poses unchanged
     lm_before = mp.lm_pos[: mp.n_lm].copy()
     mp.apply_pose_graph_result(np.asarray(g.poses))
