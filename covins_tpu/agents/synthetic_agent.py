@@ -220,14 +220,19 @@ class SyntheticAgent:
                 id_successor=(-1, -1),
             )
 
-            # newly-minted landmarks get a MsgLandmark; pos_ref is computed
-            # against the DRIFTED vio pose (what the front-end believes),
-            # like a real front-end triangulating in its own frame
+            # newly-minted landmarks get a MsgLandmark.  pos_ref is the
+            # GT BODY-RELATIVE position: a real front-end triangulates
+            # from observations over a short window, so the body-frame
+            # geometry is metrically correct while the WORLD placement
+            # inherits the anchor keyframe's accumulated drift (the server
+            # lifts pos_ref through its drifted pose chain).  Computing
+            # pos_ref against the drifted pose instead would cancel the
+            # drift exactly and leave loop closure nothing to correct.
             for j, wi in new_world_idx:
                 lid = int(lm_ids[j])
                 pos_ref = np.asarray(
                     geo.pose_apply(
-                        geo.pose_inverse(jnp.asarray(self._vio_poses[k])),
+                        geo.pose_inverse(jnp.asarray(np.asarray(self.traj.poses)[k])),
                         jnp.asarray(self.world.landmarks[wi]),
                     )
                 )

@@ -117,3 +117,14 @@ class MsgLandmark:
     pos_ref: np.ndarray  # (3,) position in reference-KF body frame
     observations: dict  # {(kf_id, client_id): feature_idx}
     is_update: bool = False
+
+
+@dataclasses.dataclass
+class MsgLandmarkUpdate:
+    """Position-only landmark update (the reference's `is_update_msg`
+    landmark path, `communicator_be.cpp:157-163` -> `UpdatePosFromMsg`,
+    `landmark_be.cpp:222-238`); only processed when `comm.send_updates`."""
+
+    id: tuple[int, int]
+    id_reference: tuple[int, int]
+    pos_ref: np.ndarray  # (3,)

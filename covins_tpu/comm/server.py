@@ -54,6 +54,10 @@ class CovinsServer:
         self._worker = threading.Thread(target=self._work_loop, daemon=True)
         self._stop = threading.Event()
         self._server: Optional[asyncio.AbstractServer] = None
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
+        self._shutdown_evt: Optional[asyncio.Event] = None
+        self._conn_tasks: set = set()
+        self._thread: Optional[threading.Thread] = None
 
     # ------------------------------------------------------------ worker
     def _work_loop(self):
@@ -80,6 +84,9 @@ class CovinsServer:
                 elif kind == "admin":
                     cmd, reply = payload
                     reply["result"] = self._admin(cmd)
+                elif kind == "collect":
+                    client_id, reply = payload
+                    reply["msg"] = self._collect_for_agent(client_id)
             except Exception as e:  # keep the worker alive; report
                 if kind == "admin":
                     payload[1]["error"] = repr(e)
@@ -88,6 +95,33 @@ class CovinsServer:
             finally:
                 if done is not None:
                     done.set()
+
+    def _collect_for_agent(self, client_id: int):
+        """`Communicator::CollectDataForAgent` (`communicator_be.cpp:51-69`):
+        the newest own keyframe's (optimized) pose relative to KF0, shipped
+        back to the agent as a keyframe-update message."""
+        if client_id not in self.manager.map_of_client:
+            return None
+        mp = self.manager.map_of(client_id)
+        rows = mp.live_kf_rows(client_id)
+        if len(rows) == 0:
+            return None
+        newest = rows[int(np.argmax(mp.kf_ids[rows, 0]))]
+        kf0 = mp.kf_row((0, client_id))
+        if kf0 < 0:
+            return None
+        from covins_tpu.utils import geometry as geo
+        T_sref_s = np.asarray(
+            geo.pose_relative(mp.kf_pose[kf0], mp.kf_pose[newest])
+        )
+        return msgs.MsgKeyframeUpdate(
+            id=tuple(int(x) for x in mp.kf_ids[newest]),
+            id_reference=(0, client_id),
+            T_sref_s=T_sref_s,
+            velocity=mp.kf_vel[newest].copy(),
+            bias_gyro=mp.kf_bias[newest, :3].copy(),
+            bias_acc=mp.kf_bias[newest, 3:].copy(),
+        )
 
     def _admin(self, cmd: dict):
         """The four service verbs (`backend.cpp:128-357`)."""
@@ -153,6 +187,11 @@ class CovinsServer:
                         json.dumps({"client_id": client_id}).encode())
         writer.write(hs)
         await writer.drain()
+        send_task = None
+        if self.cfg.data_to_client:
+            send_task = asyncio.ensure_future(
+                self._data_to_agent(client_id, writer)
+            )
         try:
             while True:
                 hdr = await reader.readexactly(wire.HEADER_SIZE)
@@ -184,18 +223,103 @@ class CovinsServer:
         except (asyncio.IncompleteReadError, ConnectionResetError):
             pass  # hang-up == finish (`communicator_base.cpp:233-244`)
         finally:
+            import functools
+            if send_task is not None:
+                send_task.cancel()
             done = threading.Event()
             self._work.put(("finish", client_id, done))
-            await asyncio.get_event_loop().run_in_executor(None, done.wait)
+            try:
+                await asyncio.shield(asyncio.get_event_loop().run_in_executor(
+                    None, functools.partial(done.wait, 10.0)))
+            except asyncio.CancelledError:
+                pass
             writer.close()
 
+    async def _data_to_agent(self, client_id: int, writer: asyncio.StreamWriter):
+        """Periodic server->agent data at `comm.to_agent_freq` when
+        `comm.data_to_client` (`communicator_be.cpp:215-231`)."""
+        import functools
+        period = 1.0 / max(float(self.cfg.to_agent_freq), 1e-3)
+        try:
+            while True:
+                await asyncio.sleep(period)
+                reply: dict = {}
+                done = threading.Event()
+                self._work.put(("collect", (client_id, reply), done))
+                await asyncio.get_event_loop().run_in_executor(
+                    None, functools.partial(done.wait, 5.0))
+                msg = reply.get("msg")
+                if msg is not None:
+                    writer.write(wire.encode_message(msg))
+                    await writer.drain()
+        except (asyncio.CancelledError, ConnectionResetError, OSError):
+            pass
+
     async def serve(self):
+        """Run until `shutdown()` (or `stop()` from another thread).
+
+        Connection handlers are tracked so shutdown can cancel them
+        deterministically — the reference leaks its detached comm threads
+        on exit (`handler_be.cpp:52-56`); here teardown is explicit."""
         self._worker.start()
-        self._server = await asyncio.start_server(
-            self._handle_conn, self.host, self.port
-        )
+        self._loop = asyncio.get_running_loop()
+        self._shutdown_evt = asyncio.Event()
+
+        async def tracked(reader, writer):
+            task = asyncio.current_task()
+            self._conn_tasks.add(task)
+            try:
+                await self._handle_conn(reader, writer)
+            finally:
+                self._conn_tasks.discard(task)
+
+        self._server = await asyncio.start_server(tracked, self.host, self.port)
         async with self._server:
-            await self._server.serve_forever()
+            await self._shutdown_evt.wait()
+        for t in list(self._conn_tasks):
+            t.cancel()
+        if self._conn_tasks:
+            await asyncio.gather(*self._conn_tasks, return_exceptions=True)
+        self._stop.set()
+        self._worker.join(timeout=5.0)
+
+    async def shutdown(self):
+        self._shutdown_evt.set()
+
+    def stop(self):
+        """Thread-safe shutdown; joins the background thread if one was
+        started with `start_background()`."""
+        if self._loop is not None and self._shutdown_evt is not None:
+            self._loop.call_soon_threadsafe(self._shutdown_evt.set)
+        if self._thread is not None:
+            self._thread.join(timeout=10.0)
+            self._thread = None
+
+    def start_background(self) -> threading.Thread:
+        """Run the server in a daemon thread with its own event loop."""
+        started = threading.Event()
+
+        def run():
+            loop = asyncio.new_event_loop()
+            asyncio.set_event_loop(loop)
+
+            async def main():
+                serve_task = asyncio.ensure_future(self.serve())
+                # server socket is bound once serve() creates it
+                while self._server is None and not serve_task.done():
+                    await asyncio.sleep(0.01)
+                started.set()
+                await serve_task
+
+            try:
+                loop.run_until_complete(main())
+            finally:
+                loop.close()
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+        started.wait(timeout=10.0)
+        return self._thread
 
     def run(self):
         try:
@@ -204,9 +328,3 @@ class CovinsServer:
             pass
         finally:
             self._stop.set()
-
-    async def shutdown(self):
-        if self._server:
-            self._server.close()
-            await self._server.wait_closed()
-        self._stop.set()

@@ -137,6 +137,11 @@ def _calib_rec(c: Optional[msgs.VICalibration]) -> Dict[str, object]:
     }
 
 
+def _f(x) -> float:
+    """Scalar from a decoded field that may arrive as a 1-element array."""
+    return float(np.asarray(x).reshape(-1)[0])
+
+
 def _calib_from(rec) -> Optional[msgs.VICalibration]:
     if "calib.T_s_c" not in rec:
         return None
@@ -147,12 +152,12 @@ def _calib_from(rec) -> Optional[msgs.VICalibration]:
         intrinsics=np.asarray(rec["calib.intrinsics"]),
         dist=np.asarray(rec["calib.dist"]),
         img_w=int(rec["calib.img_w"]), img_h=int(rec["calib.img_h"]),
-        acc_noise=float(rec["calib.acc_noise"]),
-        gyro_noise=float(rec["calib.gyro_noise"]),
-        acc_walk=float(rec["calib.acc_walk"]),
-        gyro_walk=float(rec["calib.gyro_walk"]),
-        imu_rate=float(rec["calib.imu_rate"]),
-        gravity_mag=float(rec["calib.gravity_mag"]),
+        acc_noise=_f(rec["calib.acc_noise"]),
+        gyro_noise=_f(rec["calib.gyro_noise"]),
+        acc_walk=_f(rec["calib.acc_walk"]),
+        gyro_walk=_f(rec["calib.gyro_walk"]),
+        imu_rate=_f(rec["calib.imu_rate"]),
+        gravity_mag=_f(rec["calib.gravity_mag"]),
     )
 
 
@@ -207,6 +212,13 @@ def encode_message(msg) -> bytes:
             "observations": obs,
         }
         return frame(msgs.MSG_LANDMARK, encode_record(rec))
+    if isinstance(msg, msgs.MsgLandmarkUpdate):
+        rec = {
+            "id": np.asarray(msg.id, np.int64),
+            "id_reference": np.asarray(msg.id_reference, np.int64),
+            "pos_ref": msg.pos_ref,
+        }
+        return frame(msgs.MSG_LANDMARK_UPDATE, encode_record(rec))
     raise TypeError(f"cannot encode {type(msg)}")
 
 
@@ -222,7 +234,7 @@ def decode_message(msg_type: int, payload: memoryview):
             )
         return msgs.MsgKeyframe(
             id=tuple(np.asarray(rec["id"]).tolist()),
-            timestamp=float(rec["timestamp"]),
+            timestamp=_f(rec["timestamp"]),
             calibration=_calib_from(rec),
             keypoints=np.asarray(rec["keypoints"]),
             keypoints_undist=np.asarray(rec["keypoints_undist"]),
@@ -258,6 +270,12 @@ def decode_message(msg_type: int, payload: memoryview):
             id_reference=tuple(np.asarray(rec["id_reference"]).tolist()),
             pos_ref=np.asarray(rec["pos_ref"]),
             observations={(int(r[0]), int(r[1])): int(r[2]) for r in obs},
+        )
+    if msg_type == msgs.MSG_LANDMARK_UPDATE:
+        return msgs.MsgLandmarkUpdate(
+            id=tuple(np.asarray(rec["id"]).tolist()),
+            id_reference=tuple(np.asarray(rec["id_reference"]).tolist()),
+            pos_ref=np.asarray(rec["pos_ref"]),
         )
     raise ValueError(f"unknown msg type {msg_type}")
 

@@ -39,8 +39,14 @@ class KeyframeDatabase:
         self._db = jnp.zeros((capacity, self.k_words), jnp.float32)
         self._mask = np.zeros(capacity, bool)
         self.n = 0
-        # row -> (kf_id, client_id); parallel host bookkeeping
+        # row -> (kf_id, client_id); parallel host bookkeeping.  Kept BOTH
+        # as a dict (O(1) id lookup, `row_of`) and as flat arrays so the
+        # exclusion masks of `DetectCandidates` (`kf_database.cpp:47-187`)
+        # are vectorized rather than Python scans over all rows.
         self.row_ids: list[tuple[int, int]] = []
+        self.row_of: dict[tuple, int] = {}
+        self.row_kf = np.full(capacity, -1, np.int64)      # kf id per row
+        self.row_client = np.full(capacity, -1, np.int64)  # client id per row
 
     def _ensure(self, n):
         cap = self._db.shape[0]
@@ -49,9 +55,12 @@ class KeyframeDatabase:
         new_cap = max(2 * cap, n)
         db = jnp.zeros((new_cap, self.k_words), jnp.float32)
         self._db = db.at[:cap].set(self._db)
-        m = np.zeros(new_cap, bool)
-        m[:cap] = self._mask
-        self._mask = m
+        for name in ("_mask", "row_kf", "row_client"):
+            old = getattr(self, name)
+            new = np.full(new_cap, -1, old.dtype) if old.dtype == np.int64 \
+                else np.zeros(new_cap, old.dtype)
+            new[:cap] = old
+            setattr(self, name, new)
 
     def bow_vector(self, descriptors: np.ndarray) -> jnp.ndarray:
         # pad the descriptor count to a power-of-two bucket so the jitted
@@ -73,17 +82,33 @@ class KeyframeDatabase:
 
     def add_keyframe(self, kf_id: tuple, descriptors_u8: np.ndarray) -> int:
         """`MapManager::AddToDatabase` (`map_be.cpp:68-107`)."""
+        kf_id = tuple(int(x) for x in kf_id)
+        existing = self.row_of.get(kf_id, -1)
+        if existing >= 0:
+            return existing
         row = self.n
         self._ensure(row + 1)
         vec = self.bow_vector(descriptors_u8)
         self._db = _set_row(self._db, row, vec)
         self._mask[row] = True
-        self.row_ids.append(tuple(kf_id))
+        self.row_ids.append(kf_id)
+        self.row_of[kf_id] = row
+        self.row_kf[row] = kf_id[0]
+        self.row_client[row] = kf_id[1]
         self.n = row + 1
         return row
 
     def erase(self, row: int):
         self._mask[row] = False
+
+    def erase_id(self, kf_id: tuple) -> bool:
+        """`MapManager::EraseFromDatabase` (`map_be.cpp:169-177`): drop a
+        culled keyframe from the retrieval index."""
+        row = self.row_of.pop(tuple(int(x) for x in kf_id), -1)
+        if row < 0:
+            return False
+        self._mask[row] = False
+        return True
 
     def query(
         self,

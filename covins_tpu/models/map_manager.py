@@ -33,6 +33,7 @@ class MapManager:
         self._next_map_id = 0
         self.n_merges = 0
         self.n_loops = 0
+        self.n_fused = 0  # landmarks deduplicated by loop fusion
 
     # ------------------------------------------------------------- registry
     def init_map(self, client_id: int) -> Map:
@@ -42,6 +43,7 @@ class MapManager:
             desc_bytes=self.cfg.desc_length,
             desc_dtype=(np.float32 if self.cfg.feat_type == "SIFT" else np.uint8),
         )
+        mp.database = self.database
         self.maps[mp.id] = mp
         self.map_of_client[client_id] = mp.id
         self._next_map_id += 1
@@ -50,6 +52,7 @@ class MapManager:
     def register_map(self, mp: Map):
         """`MapManager::RegisterMap` — attach a loaded map."""
         mp.id = self._next_map_id
+        mp.database = self.database
         self._next_map_id += 1
         self.maps[mp.id] = mp
         for cid in mp.associated_clients:
@@ -74,9 +77,10 @@ class MapManager:
 
     # --------------------------------------------------------------- loops
     def handle_loop(self, loop: LoopResult) -> str:
-        """`CorrectLoop` (`placerec_be.cpp:287-344`): same map -> add the
-        constraint (+ optional PGO); different maps -> merge.  Returns
-        'loop' | 'merge' | 'ignored'."""
+        """`CorrectLoop` (`placerec_be.cpp:287-344`): same map -> fuse
+        duplicated landmarks, add the constraint, seed PGO with corrected
+        poses; different maps -> merge.  Returns 'loop' | 'merge' |
+        'ignored'."""
         mp_q, q_row = self.resolve(loop.query_id)
         mp_c, c_row = self.resolve(loop.candidate_id)
         if mp_q is None or mp_c is None:
@@ -86,14 +90,79 @@ class MapManager:
             for lc in mp_q.loops:
                 if {lc["kf1"], lc["kf2"]} == {q_row, c_row}:
                     return "ignored"
+            # corrected poses BEFORE fusing/constraint so the deltas come
+            # from the uncorrected state (`ConnectLoop`, `placerec_be.cpp:222-285`)
+            corrected = self._corrected_poses(mp_q, q_row, c_row, loop.T_12)
+            self._apply_fusion(mp_q, q_row, loop.matches)
             mp_q.add_loop_constraint(q_row, c_row, self._loop_T_c_q(loop),
                                      cov=loop.cov)
             self.n_loops += 1
             if self.cfg.perform_pgo:
-                self.run_pgo(mp_q)
+                self.run_pgo(mp_q, poses_init=corrected)
             return "loop"
         self.perform_merge(mp_q, q_row, mp_c, c_row, loop)
         return "merge"
+
+    def _corrected_poses(self, mp: Map, q_row: int, c_row: int,
+                         T_12: np.ndarray) -> np.ndarray:
+        """Corrected poses for the query's covisible set and successor
+        chain (`ConnectLoop` `placerec_be.cpp:222-285` +
+        `Map::ApplyLoopCorrection` `map_be.cpp:411-431`): the loop
+        transform implies a world-frame left-delta for the query; apply it
+        to the query, its covisible neighborhood, and every successor —
+        PGO then starts near the closed solution instead of having to pull
+        a potentially huge accumulated drift in
+        (`optimization_be.cpp:875-887`)."""
+        import jax.numpy as jnp
+
+        n = mp.n_kf
+        poses = mp.kf_pose[:n].copy()
+        T_w_sq = jnp.asarray(poses[q_row])
+        T_w_sc = jnp.asarray(poses[c_row])
+        T_w_sq_corr = geo.pose_compose(
+            T_w_sc, geo.pose_inverse(jnp.asarray(T_12, np.float64))
+        )
+        delta = np.asarray(
+            geo.pose_compose(T_w_sq_corr, geo.pose_inverse(T_w_sq))
+        )
+        rows = {int(q_row)}
+        covis = mp.covis_weights(q_row)
+        rows |= {int(r) for r in np.where(covis > 0)[0]}
+        r = int(mp.kf_succ[q_row])
+        while r >= 0:
+            rows.add(r)
+            r = int(mp.kf_succ[r])
+        rows = np.asarray(sorted(rows), np.int64)
+        poses[rows] = np.asarray(
+            geo.pose_compose(jnp.asarray(delta)[None], jnp.asarray(poses[rows]))
+        )
+        return poses
+
+    def _apply_fusion(self, mp: Map, q_row: int, matches: Optional[np.ndarray]):
+        """Landmark fusion for the verified loop matches (`ConnectLoop`
+        match handling, `placerec_be.cpp:265-282`): the query's own
+        landmark at a matched feature fuses into the loop landmark; bare
+        features gain an observation of the loop landmark."""
+        if matches is None or len(matches) == 0:
+            return
+        refreshed = []
+        for feat, c_lm in np.asarray(matches, np.int64):
+            feat, c_lm = int(feat), int(c_lm)
+            if not mp.lm_mask[c_lm]:
+                continue
+            q_lm = int(mp.kf_feat_lm[q_row, feat])
+            if q_lm == c_lm:
+                continue
+            if q_lm >= 0:
+                if mp.fuse_landmark(target=c_lm, tofuse=q_lm):
+                    self.n_fused += 1
+            else:
+                if q_row in set(int(k) for k in mp.observing_kfs(c_lm)):
+                    continue
+                mp.add_observation(q_row, c_lm, feat)
+            refreshed.append(c_lm)
+        if refreshed:
+            mp.update_landmark_attributes(np.unique(np.asarray(refreshed)))
 
     @staticmethod
     def _loop_T_c_q(loop: LoopResult) -> np.ndarray:
@@ -117,6 +186,10 @@ class MapManager:
         mp_c.merge_from(mp_q, np.asarray(T_wc_wq))
         # the fused query row is offset into the target map
         q_row_merged = q_row + kf_off
+        # fuse duplicated landmarks: the candidate-map landmark rows in the
+        # match set are unchanged by the merge; the query's own landmarks
+        # moved by lm_off (handled through kf_feat_lm, already re-indexed)
+        self._apply_fusion(mp_c, q_row_merged, loop.matches)
         mp_c.add_loop_constraint(q_row_merged, c_row,
                                  self._loop_T_c_q(loop), cov=loop.cov)
         # re-point all clients of the fused map
@@ -129,7 +202,7 @@ class MapManager:
             self.run_pgo(mp_c)
 
     # ----------------------------------------------------------------- PGO
-    def run_pgo(self, mp: Map):
+    def run_pgo(self, mp: Map, poses_init: Optional[np.ndarray] = None):
         cfg = self.cfg
         g = mp.to_pose_graph(
             wt_kf_R=cfg.wt_kf_R, wt_kf_T=cfg.wt_kf_T,
@@ -137,6 +210,7 @@ class MapManager:
             wt_kf_n1=cfg.wt_kf_n1, wt_kf_n23=cfg.wt_kf_n23,
             wt_kf_n45=cfg.wt_kf_n45,
             fix_optimized_kfs=cfg.pgo_fix_kfs_after_gba,
+            poses_init=poses_init,
         )
         poses, _ = pgo_mod.optimize_pose_graph(
             g, n_gn=self.cfg.pgo_iteration_limit, n_cg=100,

@@ -61,6 +61,10 @@ class Map:
     ):
         self.id = map_id
         self.associated_clients: set[int] = set()
+        # optional backref to the retrieval database so culled keyframes are
+        # dropped from the index (`MapManager::EraseFromDatabase`,
+        # `map_be.cpp:169-177`); set by the MapManager
+        self.database = None
         self.max_features = max_features
         self.desc_bytes = desc_bytes  # descriptor width (bytes for ORB, dims for SIFT)
         self.desc_dtype = np.dtype(desc_dtype)
@@ -95,6 +99,17 @@ class Map:
         self.imu_n = np.zeros(k, np.int32)
         self.calib: Dict[int, msgs.VICalibration] = {}  # per client
 
+        # additional feature set (`msg_keyframe.hpp` `_add` fields): the
+        # pose-estimation features of COVINS-G, distinct from the PR /
+        # landmark-tied primary set (`placerec_gen_be.cpp:99` matches on
+        # `descriptors_add_`; `keyframe_be.cpp:42-226` falls back to the
+        # primary set when absent).  Allocated lazily on the first message
+        # that carries them — their width/dtype may differ from the primary.
+        self.kf_n_feat_add = np.zeros(k, np.int32)
+        self.kp_undist_add: Optional[np.ndarray] = None
+        self.kp_aors_add: Optional[np.ndarray] = None
+        self.descriptors_add: Optional[np.ndarray] = None
+
         # --- landmark SoA ---------------------------------------------------
         m = lm_capacity
         self.n_lm = 0
@@ -105,6 +120,7 @@ class Map:
         self.lm_desc = np.zeros((m, desc_bytes), desc_dtype)
         self.lm_normal = np.zeros((m, 3), np.float64)
         self.lm_first_kf = np.full(m, -1, np.int32)
+        self.lm_optimized = np.zeros(m, bool)  # Landmark::IsOptimized gate
 
         # --- observation COO -------------------------------------------------
         o = obs_capacity
@@ -125,6 +141,20 @@ class Map:
     def kf_row(self, idpair: IdPair) -> int:
         return self._kf_index.get(tuple(idpair), -1)
 
+    def pr_descriptors(self, row: int) -> np.ndarray:
+        """Place-recognition descriptor set (the primary set; landmark-tied
+        in COVINS mode).  Sliced by the caller with `kf_n_feat[row]`."""
+        return self.descriptors[row]
+
+    def match_features(self, row: int):
+        """Pose-estimation feature set for image matching — the `_add` set
+        when the agent sent one, else the primary set (the fallback of
+        `keyframe_be.cpp:42-226`).  Returns (kp_undist, descriptors, n)."""
+        na = int(self.kf_n_feat_add[row])
+        if na > 0 and self.descriptors_add is not None:
+            return self.kp_undist_add[row], self.descriptors_add[row], na
+        return self.kp_undist[row], self.descriptors[row], int(self.kf_n_feat[row])
+
     def lm_row(self, idpair: IdPair) -> int:
         return self._lm_index.get(tuple(idpair), -1)
 
@@ -138,9 +168,12 @@ class Map:
             "kf_bias", "kf_pred", "kf_succ", "kf_mask", "kf_is_loop",
             "kf_pose_optimized", "kf_in_gba", "kf_n_feat", "kp_uv", "kp_undist",
             "kp_aors", "descriptors", "kf_feat_lm", "imu_acc", "imu_gyro",
-            "imu_dts", "imu_n",
+            "imu_dts", "imu_n", "kf_n_feat_add",
         ):
             setattr(self, name, _grow(getattr(self, name), new))
+        for name in ("kp_undist_add", "kp_aors_add", "descriptors_add"):
+            if getattr(self, name) is not None:
+                setattr(self, name, _grow(getattr(self, name), new))
         self.kf_ids[self.n_kf:] = -1
         self.kf_pred[self.n_kf:] = -1
         self.kf_succ[self.n_kf:] = -1
@@ -153,7 +186,7 @@ class Map:
         new = max(2 * cap, n)
         for name in (
             "lm_ids", "lm_pos", "lm_ref", "lm_mask", "lm_desc", "lm_normal",
-            "lm_first_kf",
+            "lm_first_kf", "lm_optimized",
         ):
             setattr(self, name, _grow(getattr(self, name), new))
         self.lm_ids[self.n_lm:] = -1
@@ -194,6 +227,27 @@ class Map:
         if msg.keypoints_aors is not None:
             self.kp_aors[row, :nf] = msg.keypoints_aors[:nf]
         self.descriptors[row, :nf] = msg.descriptors[:nf, : self.desc_bytes]
+
+        # additional (pose-estimation) feature set
+        if msg.descriptors_add is not None:
+            if self.descriptors_add is None:
+                cap = self.kf_ids.shape[0]
+                fa = self.max_features
+                self.kp_undist_add = np.zeros((cap, fa, 2), np.float32)
+                self.kp_aors_add = np.zeros((cap, fa, 4), np.float32)
+                self.descriptors_add = np.zeros(
+                    (cap, fa, msg.descriptors_add.shape[1]),
+                    msg.descriptors_add.dtype,
+                )
+            na = min(len(msg.descriptors_add), self.max_features)
+            self.kf_n_feat_add[row] = na
+            if msg.keypoints_add is not None:
+                self.kp_undist_add[row, :na] = msg.keypoints_add[:na]
+            if msg.keypoints_aors_add is not None:
+                self.kp_aors_add[row, :na] = msg.keypoints_aors_add[:na]
+            self.descriptors_add[row, :na] = msg.descriptors_add[
+                :na, : self.descriptors_add.shape[2]
+            ]
 
         # pose: compose relative pose onto reference KF
         # (`UpdatePoseFromMsg`, `keyframe_be.cpp:610-641`)
@@ -250,10 +304,18 @@ class Map:
     def add_landmark(self, msg: msgs.MsgLandmark) -> int:
         """Landmark row from message (`Landmark` ctor + `EstablishConnections`
         + `UpdatePosFromMsg`, `landmark_be.cpp:124-239`): position arrives in
-        the reference KF body frame and is lifted to world."""
+        the reference KF body frame and is lifted to world.  A re-sent
+        landmark merges its new observations and refreshes its position
+        (`communicator_be.cpp:172-176`)."""
         key = tuple(msg.id)
         if key in self._lm_index:
-            return self._lm_index[key]
+            row = self._lm_index[key]
+            for (kf_id, client_id), feat_idx in msg.observations.items():
+                krow = self.kf_row((kf_id, client_id))
+                if krow >= 0 and self.kf_feat_lm[krow, int(feat_idx)] != row:
+                    self.add_observation(krow, row, int(feat_idx))
+            self.update_landmark_pos(msg)
+            return row
         ref_row = self.kf_row(msg.id_reference)
         if ref_row < 0:
             raise ValueError(f"landmark {key}: unknown reference KF {msg.id_reference}")
@@ -274,6 +336,22 @@ class Map:
             if krow >= 0:
                 self.add_observation(krow, row, int(feat_idx))
         return row
+
+    def update_landmark_pos(self, msg) -> bool:
+        """`Landmark::UpdatePosFromMsg` (`landmark_be.cpp:222-238`):
+        re-anchor to the message's reference KF and recompute the world
+        position — unless the landmark was already optimized server-side."""
+        row = self.lm_row(tuple(msg.id))
+        if row < 0 or self.lm_optimized[row]:
+            return False
+        ref_row = self.kf_row(msg.id_reference)
+        if ref_row < 0:
+            return False
+        self.lm_ref[row] = ref_row
+        self.lm_pos[row] = np.asarray(
+            geo.pose_apply(self.kf_pose[ref_row], np.asarray(msg.pos_ref))
+        )
+        return True
 
     def add_observation(self, kf_row: int, lm_row: int, feat_idx: int):
         i = self.n_obs
@@ -330,6 +408,61 @@ class Map:
         key = tuple(self.lm_ids[row])
         self._lm_index.pop(key, None)
 
+    def covis_weights(self, row: int) -> np.ndarray:
+        """Covisibility weights of one keyframe vs all others (shared-
+        landmark counts, `UpdateCovisibilityConnections`,
+        `keyframe_be.cpp:559-608`), computed at CAPACITY shapes so the jit
+        signature stays stable across the stream."""
+        import jax.numpy as jnp
+        from covins_tpu.ops import covisibility as cov_ops
+
+        cap_kf = self.kf_ids.shape[0]
+        cap_lm = max(self.lm_ids.shape[0], 1)
+        w = np.asarray(
+            cov_ops.covis_weights_for(
+                jnp.asarray(row),
+                jnp.asarray(self.obs_kf),
+                jnp.asarray(self.obs_lm),
+                jnp.asarray(self.obs_mask),
+                n_kf=cap_kf, n_lm=cap_lm,
+            )
+        )
+        return w[: self.n_kf]
+
+    def landmark_obs(self, lm_row: int) -> np.ndarray:
+        """Indices into the observation COO for a landmark's live obs."""
+        o = self.n_obs
+        return np.where((self.obs_lm[:o] == lm_row) & self.obs_mask[:o])[0]
+
+    def observing_kfs(self, lm_row: int) -> np.ndarray:
+        return self.obs_kf[self.landmark_obs(lm_row)]
+
+    def fuse_landmark(self, target: int, tofuse: int) -> bool:
+        """Merge duplicated landmarks after a loop closure
+        (`PlaceRecognition::FuseLandmark`, `placerec_be.cpp:465-501`):
+        re-point `tofuse`'s observations at `target` wherever `target` has
+        no observation in that keyframe yet; erase `tofuse` when fewer than
+        2 observations could not be moved."""
+        if target == tofuse:
+            return False
+        if not (self.lm_mask[target] and self.lm_mask[tofuse]):
+            return False
+        target_kfs = set(int(k) for k in self.observing_kfs(target))
+        non_moved = 0
+        for i in self.landmark_obs(tofuse):
+            kf, ft = int(self.obs_kf[i]), int(self.obs_feat[i])
+            if kf not in target_kfs:
+                self.obs_lm[i] = target
+                self.kf_feat_lm[kf, ft] = target
+                target_kfs.add(kf)
+            elif self.kf_feat_lm[kf, ft] == target:
+                continue
+            else:
+                non_moved += 1
+        if non_moved < 2:
+            self.erase_landmark(tofuse)
+        return True
+
     def erase_keyframe(self, row: int):
         """Erase a KF, splicing pred<->succ and merging its IMU window into
         the successor (`FusePreintegration`, `keyframe_be.cpp:413-440`)."""
@@ -361,6 +494,8 @@ class Map:
                 self.lm_ref[lrow] = obs_of[0] if len(obs_of) else -1
         key = tuple(self.kf_ids[row])
         self._kf_index.pop(key, None)
+        if self.database is not None:
+            self.database.erase_id(key)
 
     def remove_redundant_keyframes(
         self,
@@ -426,9 +561,21 @@ class Map:
             "kf_ids", "kf_stamp", "kf_vel", "kf_bias", "kf_mask",
             "kf_is_loop", "kf_pose_optimized", "kf_in_gba", "kf_n_feat", "kp_uv",
             "kp_undist", "kp_aors", "descriptors", "imu_acc", "imu_gyro",
-            "imu_dts", "imu_n", "kf_pose_vio",
+            "imu_dts", "imu_n", "kf_pose_vio", "kf_n_feat_add",
         ):
             getattr(self, name)[kf_off : kf_off + nk] = getattr(other, name)[:nk]
+        if other.descriptors_add is not None:
+            if self.descriptors_add is None:
+                cap = self.kf_ids.shape[0]
+                fa = self.max_features
+                self.kp_undist_add = np.zeros((cap, fa, 2), np.float32)
+                self.kp_aors_add = np.zeros((cap, fa, 4), np.float32)
+                self.descriptors_add = np.zeros(
+                    (cap, fa, other.descriptors_add.shape[2]),
+                    other.descriptors_add.dtype,
+                )
+            for name in ("kp_undist_add", "kp_aors_add", "descriptors_add"):
+                getattr(self, name)[kf_off : kf_off + nk] = getattr(other, name)[:nk]
         self.kf_pose[kf_off : kf_off + nk] = np.asarray(
             geo.pose_compose(T[None], other.kf_pose[:nk])
         )
@@ -444,7 +591,7 @@ class Map:
         )
 
         # landmarks
-        for name in ("lm_ids", "lm_mask", "lm_desc"):
+        for name in ("lm_ids", "lm_mask", "lm_desc", "lm_optimized"):
             getattr(self, name)[lm_off : lm_off + nl] = getattr(other, name)[:nl]
         self.lm_pos[lm_off : lm_off + nl] = np.asarray(
             geo.sim3_apply(
@@ -502,12 +649,15 @@ class Map:
             "kf_bias", "kf_pred", "kf_succ", "kf_mask", "kf_is_loop",
             "kf_pose_optimized", "kf_in_gba", "kf_n_feat", "kp_uv", "kp_undist",
             "kp_aors", "descriptors", "kf_feat_lm", "imu_acc", "imu_gyro",
-            "imu_dts", "imu_n",
+            "imu_dts", "imu_n", "kf_n_feat_add",
         ):
             arrays[name] = getattr(self, name)[: self.n_kf]
+        if self.descriptors_add is not None:
+            for name in ("kp_undist_add", "kp_aors_add", "descriptors_add"):
+                arrays[name] = getattr(self, name)[: self.n_kf]
         for name in (
             "lm_ids", "lm_pos", "lm_ref", "lm_mask", "lm_desc",
-            "lm_normal", "lm_first_kf",
+            "lm_normal", "lm_first_kf", "lm_optimized",
         ):
             arrays[name] = getattr(self, name)[: self.n_lm]
         for name in ("obs_kf", "obs_lm", "obs_feat", "obs_mask"):
@@ -537,6 +687,15 @@ class Map:
             obs_capacity=max(n_obs, 16),
         )
         mp.n_kf, mp.n_lm, mp.n_obs = n_kf, n_lm, n_obs
+        if "descriptors_add" in z.files:
+            cap = mp.kf_ids.shape[0]
+            fa = z["descriptors_add"].shape[1]
+            mp.kp_undist_add = np.zeros((cap, fa, 2), np.float32)
+            mp.kp_aors_add = np.zeros((cap, fa, 4), np.float32)
+            mp.descriptors_add = np.zeros(
+                (cap, fa, z["descriptors_add"].shape[2]),
+                z["descriptors_add"].dtype,
+            )
         for name in z.files:
             if name in ("loop_kf1", "loop_kf2", "loop_T", "map_id"):
                 continue
@@ -571,6 +730,7 @@ class Map:
         wt_kf_n23=2.0,
         wt_kf_n45=3.0,
         fix_optimized_kfs=False,
+        poses_init: Optional[np.ndarray] = None,
     ):
         """Build a `covins_tpu.ops.pgo.PoseGraph` snapshot: successor edges
         from VIO poses (`optimization_be.cpp:946-972`), optional decaying
@@ -642,7 +802,10 @@ class Map:
         eloop = np.asarray(list(eloop) + [False] * pad)
         poses_pad = np.zeros((n_cap, 7), np.float64)
         poses_pad[:, 0] = 1.0
-        poses_pad[:n] = self.kf_pose[:n]
+        # optional loop-corrected initialization (`optimization_be.cpp:875-887`)
+        poses_pad[:n] = (
+            poses_init[:n] if poses_init is not None else self.kf_pose[:n]
+        )
         pose_mask = np.zeros(n_cap, bool)
         pose_mask[:n] = self.kf_mask[:n]
         fixed = np.zeros(n_cap, bool)
@@ -651,6 +814,10 @@ class Map:
             fixed[live[0]] = True
         if fix_optimized_kfs:
             fixed[:n] |= self.kf_in_gba[:n]
+        # gauge KFs anchor the map: they must keep their CURRENT pose even
+        # when a loop correction touched them (else the whole map drifts
+        # with the gauge)
+        poses_pad[:n][fixed[:n]] = self.kf_pose[:n][fixed[:n]]
         return pgo_mod.PoseGraph(
             poses=jnp.asarray(poses_pad),
             pose_mask=jnp.asarray(pose_mask),
@@ -814,6 +981,7 @@ class Map:
         self.kf_in_gba[:n][live] = True
         lml = self.lm_mask[:m]
         self.lm_pos[:m][lml] = np.asarray(problem.lms)[:m][lml]
+        self.lm_optimized[:m][lml] = True
         self.obs_mask[: self.n_obs] = np.asarray(problem.obs_mask)
 
     def update_landmark_attributes(self, lm_rows=None, max_obs_pad: int = 16):
@@ -866,62 +1034,77 @@ class Map:
         self.lm_normal[lm_rows[any_obs]] = nrm[any_obs]
 
     # ------------------------------------------------------------ trajectories
-    def write_trajectory_tum(self, path: str, client_id: int, truncate=True):
+    def _trajectory_lines_tum(self, client_id: int) -> str:
         """TUM format: `stamp tx ty tz qx qy qz qw`
         (`Map::WriteStateToCsvTUM`, `map_be.cpp:1040-1076`)."""
         rows = self.live_kf_rows(client_id)
-        if len(rows) == 0:
-            return
         rows = rows[np.argsort(self.kf_stamp[rows])]
-        mode = "w" if truncate else "a"
-        with open(path, mode) as fh:
-            for r in rows:
-                q = self.kf_pose[r, :4]
-                t = self.kf_pose[r, 4:7]
-                fh.write(
-                    f"{self.kf_stamp[r]:.25g} {t[0]:.17g} {t[1]:.17g} {t[2]:.17g} "
-                    f"{q[1]:.17g} {q[2]:.17g} {q[3]:.17g} {q[0]:.17g}\n"
-                )
+        out = []
+        for r in rows:
+            q = self.kf_pose[r, :4]
+            t = self.kf_pose[r, 4:7]
+            out.append(
+                f"{self.kf_stamp[r]:.25g} {t[0]:.17g} {t[1]:.17g} {t[2]:.17g} "
+                f"{q[1]:.17g} {q[2]:.17g} {q[3]:.17g} {q[0]:.17g}\n"
+            )
+        return "".join(out)
 
-    def write_trajectory_euroc(self, path: str, client_id: int, truncate=True):
+    def _trajectory_lines_euroc(self, client_id: int) -> str:
         """EuRoC format: `stamp_ns,tx,ty,tz,qw,qx,qy,qz,vx,vy,vz,bgx..,bax..`
         (`Map::WriteStateToCsv`, `map_be.cpp:987-1038`)."""
         rows = self.live_kf_rows(client_id)
-        if len(rows) == 0:
-            return
         rows = rows[np.argsort(self.kf_stamp[rows])]
-        mode = "w" if truncate else "a"
-        with open(path, mode) as fh:
-            for r in rows:
-                q = self.kf_pose[r, :4]
-                t = self.kf_pose[r, 4:7]
-                v = self.kf_vel[r]
-                bg = self.kf_bias[r, :3]
-                ba = self.kf_bias[r, 3:]
-                fh.write(
-                    f"{self.kf_stamp[r] * 1e9:.25g},"
-                    f"{t[0]:.17g},{t[1]:.17g},{t[2]:.17g},"
-                    f"{q[0]:.17g},{q[1]:.17g},{q[2]:.17g},{q[3]:.17g},"
-                    f"{v[0]:.17g},{v[1]:.17g},{v[2]:.17g},"
-                    f"{bg[0]:.17g},{bg[1]:.17g},{bg[2]:.17g},"
-                    f"{ba[0]:.17g},{ba[1]:.17g},{ba[2]:.17g}\n"
-                )
+        out = []
+        for r in rows:
+            q = self.kf_pose[r, :4]
+            t = self.kf_pose[r, 4:7]
+            v = self.kf_vel[r]
+            bg = self.kf_bias[r, :3]
+            ba = self.kf_bias[r, 3:]
+            out.append(
+                f"{self.kf_stamp[r] * 1e9:.25g},"
+                f"{t[0]:.17g},{t[1]:.17g},{t[2]:.17g},"
+                f"{q[0]:.17g},{q[1]:.17g},{q[2]:.17g},{q[3]:.17g},"
+                f"{v[0]:.17g},{v[1]:.17g},{v[2]:.17g},"
+                f"{bg[0]:.17g},{bg[1]:.17g},{bg[2]:.17g},"
+                f"{ba[0]:.17g},{ba[1]:.17g},{ba[2]:.17g}\n"
+            )
+        return "".join(out)
+
+    @staticmethod
+    def _atomic_write(path: str, content: str):
+        """Write-then-rename so readers never observe a partial file."""
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(content)
+        os.replace(tmp, path)
+
+    def write_trajectory_tum(self, path: str, client_id: int):
+        content = self._trajectory_lines_tum(client_id)
+        if content:
+            self._atomic_write(path, content)
+
+    def write_trajectory_euroc(self, path: str, client_id: int):
+        content = self._trajectory_lines_euroc(client_id)
+        if content:
+            self._atomic_write(path, content)
 
     def write_trajectories(self, out_dir: str, fmt: str = "TUM", suffix: str = ""):
         """Per-client files + combined estimate (`WriteKFsToFile` /
-        `WriteKFsToFileAllAg`, `map_be.cpp:944-985`)."""
+        `WriteKFsToFileAllAg`, `map_be.cpp:944-985`).  All writes are
+        atomic (tmp + rename)."""
         os.makedirs(out_dir, exist_ok=True)
-        combined = os.path.join(out_dir, f"stamped_traj_estimate{suffix}.txt")
-        first = True
+        lines = self._trajectory_lines_tum if fmt == "TUM" else self._trajectory_lines_euroc
+        ext = "ftum" if fmt == "TUM" else "feuroc"
+        combined = []
         for cid in sorted(self.associated_clients):
-            if fmt == "TUM":
-                self.write_trajectory_tum(
-                    os.path.join(out_dir, f"KF_{cid}{suffix}_ftum.csv"), cid
+            content = lines(cid)
+            combined.append(content)
+            if content:
+                self._atomic_write(
+                    os.path.join(out_dir, f"KF_{cid}{suffix}_{ext}.csv"), content
                 )
-                self.write_trajectory_tum(combined, cid, truncate=first)
-            else:
-                self.write_trajectory_euroc(
-                    os.path.join(out_dir, f"KF_{cid}{suffix}_feuroc.csv"), cid
-                )
-                self.write_trajectory_euroc(combined, cid, truncate=first)
-            first = False
+        self._atomic_write(
+            os.path.join(out_dir, f"stamped_traj_estimate{suffix}.txt"),
+            "".join(combined),
+        )

@@ -32,7 +32,7 @@ import numpy as np
 
 from covins_tpu.models.kf_database import KeyframeDatabase
 from covins_tpu.models.map_store import Map
-from covins_tpu.ops import align3d, covisibility as cov_ops, descriptors as d_ops
+from covins_tpu.ops import covisibility as cov_ops, descriptors as d_ops
 from covins_tpu.ops import epipolar, relpose
 from covins_tpu.utils import cameras as cam_mod
 from covins_tpu.utils import geometry as geo
@@ -46,6 +46,11 @@ class LoopResult:
     T_12: np.ndarray  # T_sq_sc: candidate body -> query body
     n_inliers: int
     cov: Optional[np.ndarray] = None
+    # verified (query feature idx, candidate-map landmark row) pairs — the
+    # reference's mvpCurrentMatchedPoints; drives landmark fusion in
+    # ConnectLoop (`placerec_be.cpp:265-282`).  Landmark rows index the
+    # CANDIDATE map at detection time.
+    matches: Optional[np.ndarray] = None  # (M, 2) int32
 
 
 def _camera_of(mp: Map, client_id: int) -> cam_mod.Camera:
@@ -72,22 +77,9 @@ def _pad_rows(a: np.ndarray, base: int = 128):
 
 
 def _covis_of(mp: Map, row: int) -> np.ndarray:
-    """Covisibility weights at CAPACITY shapes (the obs arrays beyond
-    n_obs are zero-filled with mask False, so passing the full buffers is
-    exact) — capacities double, so jit signatures stay stable across the
-    stream instead of retracing every keyframe."""
-    cap_kf = mp.kf_ids.shape[0]
-    cap_lm = max(mp.lm_ids.shape[0], 1)
-    w = np.asarray(
-        cov_ops.covis_weights_for(
-            jnp.asarray(row),
-            jnp.asarray(mp.obs_kf),
-            jnp.asarray(mp.obs_lm),
-            jnp.asarray(mp.obs_mask),
-            n_kf=cap_kf, n_lm=cap_lm,
-        )
-    )
-    return w[: mp.n_kf]
+    """Covisibility weights (delegates to the map's capacity-shaped
+    batched reduction, stable jit signatures across the stream)."""
+    return mp.covis_weights(row)
 
 
 class PlaceRecognition:
@@ -112,7 +104,6 @@ class PlaceRecognition:
         self._key = jax.random.PRNGKey(rng_seed + 1000 * client_id)
         self.last_loop_kf_id = -(10**9)
         self._consistent_groups: list[tuple[set, int]] = []
-        self.db_rows: Dict[tuple, int] = {}
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -136,26 +127,33 @@ class PlaceRecognition:
         descs = mp.descriptors[kf_row, :n_feat]
 
         covis = _covis_of(mp, kf_row)
-        exclude_rows = []
-        for kid, db_row in self.db_rows.items():
-            krow = mp.kf_row(kid)
-            if krow >= 0 and covis[krow] > 0:
-                exclude_rows.append(db_row)
-            elif kid[1] == kf_id[1] and abs(kid[0] - kf_id[0]) < cfg.min_loop_dist:
-                exclude_rows.append(db_row)
-            elif kid[0] < cfg.exclude_kfs_with_id_less_than:
-                exclude_rows.append(db_row)
+        # exclusion mask over db rows, vectorized (`DetectCandidates`
+        # filters, `kf_database.cpp:47-187`): id floor + same-agent
+        # proximity from the row metadata arrays; covisibility from the
+        # (small) covisible set via the id->row dict
+        n_db = self.db.n
+        row_kf = self.db.row_kf[:n_db]
+        row_client = self.db.row_client[:n_db]
+        excl = row_kf < cfg.exclude_kfs_with_id_less_than
+        excl |= (row_client == kf_id[1]) & (
+            np.abs(row_kf - kf_id[0]) < cfg.min_loop_dist
+        )
+        for r in np.where(covis > 0)[0]:
+            dbr = self.db.row_of.get(tuple(int(x) for x in mp.kf_ids[r]), -1)
+            if dbr >= 0:
+                excl[dbr] = True
+        exclude_rows = np.where(excl)[0]
 
-        scores, _ = self.db.query(descs, exclude_rows=np.asarray(exclude_rows))
+        scores, _ = self.db.query(descs, exclude_rows=exclude_rows)
         if scores.size == 0:
             return []
 
         # min covisible BoW score (`placerec_be.cpp:372-385`)
         covis_db = [
-            self.db_rows.get(tuple(mp.kf_ids[r]))
+            self.db.row_of.get(tuple(int(x) for x in mp.kf_ids[r]), -1)
             for r in np.where(covis >= cfg.covis_thres)[0]
         ]
-        covis_db = [r for r in covis_db if r is not None]
+        covis_db = [r for r in covis_db if r >= 0]
         if covis_db:
             qv = self.db.bow_vector(descs)
             sims = np.asarray(self.db._db[jnp.asarray(covis_db)] @ qv)
@@ -195,10 +193,26 @@ class PlaceRecognition:
 
     # -------------------------------------------------------- pose estimation
     def compute_se3_covins(self, mp_q: Map, q_row: int, mp_c: Map, c_row: int):
-        """Landmark-based loop transform (`ComputeSE3`, `placerec_be.cpp:63-220`):
-        batched landmark-descriptor matching, 3D-3D RANSAC alignment (the
-        GP3P role — both sides carry metric 3D), GN refinement with the
-        `inliers_thres` gate.  Returns (T_12, n_inliers) or None."""
+        """Landmark-based loop transform (`ComputeSE3`, `placerec_be.cpp:63-220`),
+        all five reference stages:
+
+        1. batched landmark-descriptor matching (DenseMatcher role) with
+           the `matches_thres` gate;
+        2. GP3P RANSAC — 2D query bearings vs 3D candidate landmarks
+           (`Se3Solver::projectiveAlignment`, `Se3Solver.cpp:59-110`) via
+           the vmapped P3P harness;
+        3. match extension through the estimated transform
+           (`FeatureMatcher::SearchBySE3`, `feature_matcher_be.cpp:293+`)
+           as one batched project-and-match;
+        4. GN refinement with the `inliers_thres` gate
+           (`OptimizeRelativePose`, `optimization_be.cpp:620-831`);
+        5. projection of the loop-neighborhood landmarks into the query
+           with the `total_matches_thres` accept gate
+           (`placerec_be.cpp:176-219`).
+
+        Returns (T_12, n_inliers, matches (M,2) [q_feat, c_lm_row]) or None."""
+        from covins_tpu.ops import pnp, projmatch
+
         cfg = self.cfg
 
         def kf_landmarks(mp, row):
@@ -212,6 +226,8 @@ class PlaceRecognition:
         thres = cfg.matches_thres if same_map else cfg.matches_thres_merge
         if len(q_lms) < 3 or len(c_lms) < 3:
             return None
+
+        # ---- stage 1: brute-force landmark matching -----------------------
         dq, nq = _pad_rows(mp_q.descriptors[q_row, q_feats])
         dc, nc = _pad_rows(mp_c.descriptors[c_row, c_feats])
         dist = d_ops.hamming_distance(jnp.asarray(dq), jnp.asarray(dc))
@@ -225,40 +241,155 @@ class PlaceRecognition:
         if len(matched) < min(thres, 8):
             return None
 
-        p_w_q = mp_q.lm_pos[q_lms[matched]]
-        p_w_c = mp_c.lm_pos[c_lms[midx[matched]]]
-        T_sq_w = geo.pose_inverse(jnp.asarray(mp_q.kf_pose[q_row]))
-        T_sc_w = geo.pose_inverse(jnp.asarray(mp_c.kf_pose[c_row]))
-        p1 = np.asarray(geo.pose_apply(T_sq_w[None], jnp.asarray(p_w_q)))
-        p2 = np.asarray(geo.pose_apply(T_sc_w[None], jnp.asarray(p_w_c)))
-        p1, nm = _pad_rows(p1, base=64)
-        p2, _ = _pad_rows(p2, base=64)
-        match_mask = jnp.arange(p1.shape[0]) < nm
-        p1, p2 = jnp.asarray(p1), jnp.asarray(p2)
+        cam_q = _camera_of(mp_q, int(mp_q.kf_ids[q_row, 1]))
+        cam_c = _camera_of(mp_c, int(mp_c.kf_ids[c_row, 1]))
+        calib_q = mp_q.calib[int(mp_q.kf_ids[q_row, 1])]
+        focal = float(calib_q.intrinsics[0])
 
-        out = align3d.align_ransac_3d3d(
-            self._next_key(), p1, p2, match_mask,
+        # ---- stage 2: GP3P RANSAC (2D-3D) ---------------------------------
+        # query-side bearings are more reliable than query-side depths, so
+        # the hypothesis stage uses candidate-map 3D vs query bearings
+        # (`Se3Solver.cpp:59-110`), solved in the candidate world frame.
+        q_feat_matched = q_feats[matched]
+        c_lm_matched = c_lms[midx[matched]]
+        p_w_c = mp_c.lm_pos[c_lm_matched]  # (M, 3) candidate world
+        uv_q = mp_q.kp_undist[q_row, q_feat_matched]
+        bear_q = np.asarray(
+            cam_mod.back_project3(cam_q, jnp.asarray(uv_q, jnp.float64))
+        )
+        pw_pad, nm = _pad_rows(p_w_c.astype(np.float64), base=64)
+        bq_pad, _ = _pad_rows(bear_q, base=64)
+        mmask = jnp.arange(len(pw_pad)) < nm
+        out = pnp.absolute_pose_ransac(
+            self._next_key(), jnp.asarray(pw_pad), jnp.asarray(bq_pad), mmask,
             n_hypotheses=min(cfg.ransac_max_iterations, 512),
-            threshold=0.5,
+            threshold_rad=float(
+                pnp.px_threshold_to_angular(cfg.ransac_class_threshold, focal)
+            ),
         )
         if int(out["n_inliers"]) < cfg.ransac_min_inliers:
             return None
+        # query camera pose in candidate world; lift to body level
+        T_cq_wc = out["T_c_w"]
+        T_wc_cq = geo.pose_inverse(T_cq_wc)
+        T_wc_sq = geo.pose_compose(T_wc_cq, geo.pose_inverse(cam_q.T_s_c))
+        T_wc_sc = jnp.asarray(mp_c.kf_pose[c_row])
+        # T_12 = T_sq_sc = inv(T_wc_sq) o T_wc_sc  (candidate body -> query body)
+        T_12_est = geo.pose_compose(geo.pose_inverse(T_wc_sq), T_wc_sc)
 
-        cam_q = _camera_of(mp_q, int(mp_q.kf_ids[q_row, 1]))
-        cam_c = _camera_of(mp_c, int(mp_c.kf_ids[c_row, 1]))
+        # ---- stage 3: SearchBySE3 — extend matches through the transform --
+        F = mp_q.max_features
+        calib_c = mp_c.calib[int(mp_c.kf_ids[c_row, 1])]
+        taken_q = np.zeros(F, bool)
+        taken_q[q_feat_matched] = True
+        # candidate KF's landmarks -> free query features, projecting with
+        # the estimated query pose IN CANDIDATE WORLD
+        cl_pad, ncl = _pad_rows(c_lms.astype(np.int32), base=128)
+        c_valid = np.arange(len(cl_pad)) < ncl
+        c_already = np.isin(cl_pad, c_lm_matched) & c_valid
+        T_cqw = geo.pose_compose(geo.pose_inverse(cam_q.T_s_c),
+                                 geo.pose_inverse(T_wc_sq))  # cand world -> q cam
+        mfeat, mdist = projmatch.project_match(
+            cam_q, T_cqw,
+            jnp.asarray(mp_c.lm_pos[cl_pad]),
+            jnp.asarray(mp_c.lm_desc[cl_pad]),
+            jnp.asarray(mp_c.lm_normal[cl_pad]),
+            jnp.asarray(c_valid & ~c_already & mp_c.lm_mask[cl_pad]),
+            jnp.asarray(mp_q.kp_undist[q_row], jnp.float64),
+            jnp.asarray(mp_q.descriptors[q_row]),
+            jnp.asarray(mp_q.kp_aors[q_row, :, 1], jnp.float64),
+            jnp.asarray(
+                (~taken_q) & (np.arange(F) < int(mp_q.kf_n_feat[q_row]))
+            ),
+            radius_px=cfg.search_radius_SE3,
+            max_dist=cfg.desc_matching_th_low,
+            img_w=calib_q.img_w, img_h=calib_q.img_h,
+            check_view_angle=False,
+        )
+        mfeat = np.asarray(mfeat)[:ncl]
+        ext = np.where(mfeat >= 0)[0]
+        ext_pairs = (
+            np.stack([mfeat[ext], c_lms[ext]], axis=1)
+            if len(ext) else np.zeros((0, 2), np.int64)
+        )
+        init_pairs = np.stack([q_feat_matched, c_lm_matched], axis=1)
+        all_pairs = np.concatenate([init_pairs, ext_pairs]).astype(np.int64)
+
+        # ---- stage 4: GN refinement (3D-3D over pairs with both sides) ----
+        q_lm_of_feat = mp_q.kf_feat_lm[q_row]  # (F,)
+        both = q_lm_of_feat[all_pairs[:, 0]] >= 0
+        q_lm_sel = q_lm_of_feat[all_pairs[both, 0]]
+        c_lm_sel = all_pairs[both, 1]
+        T_sq_w = geo.pose_inverse(jnp.asarray(mp_q.kf_pose[q_row]))
+        T_sc_w = geo.pose_inverse(T_wc_sc)
+        p1 = np.asarray(geo.pose_apply(T_sq_w[None], jnp.asarray(mp_q.lm_pos[q_lm_sel])))
+        p2 = np.asarray(geo.pose_apply(T_sc_w[None], jnp.asarray(mp_c.lm_pos[c_lm_sel])))
+        p1, nm2 = _pad_rows(p1, base=64)
+        p2, _ = _pad_rows(p2, base=64)
+        gn_mask = jnp.arange(len(p1)) < nm2
         T_opt, inl, n_inl = relpose.optimize_relative_pose(
-            cam_q, cam_c, out["T_12"], p1, p2, out["inliers"] & match_mask,
+            cam_q, cam_c, T_12_est, jnp.asarray(p1), jnp.asarray(p2), gn_mask,
             th_outlier=cfg.th_outlier_align,
         )
         if int(n_inl) < cfg.inliers_thres:
             return None
-        return np.asarray(T_opt), int(n_inl)
+        T_12 = np.asarray(T_opt)
+
+        # ---- stage 5: loop-neighborhood projection + total gate -----------
+        # landmarks of the candidate's covisible keyframes + itself
+        covis_c = _covis_of(mp_c, c_row)
+        nbr_rows = list(np.where(covis_c > 0)[0]) + [c_row]
+        o = mp_c.n_obs
+        sel = np.isin(mp_c.obs_kf[:o], np.asarray(nbr_rows)) & mp_c.obs_mask[:o]
+        hood_lms = np.unique(mp_c.obs_lm[:o][sel])
+        hood_lms = hood_lms[~np.isin(hood_lms, all_pairs[:, 1])]
+        taken_q = np.zeros(F, bool)
+        taken_q[all_pairs[:, 0]] = True
+        n_total = len(all_pairs)
+        if len(hood_lms):
+            hl_pad, nhl = _pad_rows(hood_lms.astype(np.int32), base=256)
+            h_valid = np.arange(len(hl_pad)) < nhl
+            # corrected query pose: T_wc_sq from the refined transform
+            T_wc_sq_corr = geo.pose_compose(T_wc_sc, geo.pose_inverse(jnp.asarray(T_12)))
+            T_cqw_corr = geo.pose_compose(geo.pose_inverse(cam_q.T_s_c),
+                                          geo.pose_inverse(T_wc_sq_corr))
+            hfeat, _ = projmatch.project_match(
+                cam_q, T_cqw_corr,
+                jnp.asarray(mp_c.lm_pos[hl_pad]),
+                jnp.asarray(mp_c.lm_desc[hl_pad]),
+                jnp.asarray(mp_c.lm_normal[hl_pad]),
+                jnp.asarray(h_valid & mp_c.lm_mask[hl_pad]),
+                jnp.asarray(mp_q.kp_undist[q_row], jnp.float64),
+                jnp.asarray(mp_q.descriptors[q_row]),
+                jnp.asarray(mp_q.kp_aors[q_row, :, 1], jnp.float64),
+                jnp.asarray(
+                    (~taken_q) & (np.arange(F) < int(mp_q.kf_n_feat[q_row]))
+                ),
+                radius_px=cfg.search_radius_proj,
+                max_dist=cfg.desc_matching_th_low,
+                img_w=calib_q.img_w, img_h=calib_q.img_h,
+                check_view_angle=True,
+            )
+            hfeat = np.asarray(hfeat)[:nhl]
+            hext = np.where(hfeat >= 0)[0]
+            if len(hext):
+                hood_pairs = np.stack([hfeat[hext], hood_lms[hext]], axis=1)
+                all_pairs = np.concatenate([all_pairs, hood_pairs.astype(np.int64)])
+            n_total = len(all_pairs)
+        if n_total < cfg.total_matches_thres:
+            return None
+        return T_12, int(n_inl), all_pairs.astype(np.int32)
 
     def compute_se3_covins_g(self, mp_q: Map, q_row: int, mp_c: Map, c_row: int):
         """2D-only loop transform (`placerec_gen_be.cpp:82-167` +
-        `RelNonCentralPosSolver`): ratio matching over the rigs' features,
-        multi-keyframe 17-pt non-central RANSAC, sampling covariance with
-        the `cov_thres` gate, yaw gate.  Returns (T_12, n_inliers, cov)."""
+        `RelNonCentralPosSolver`): per-pair ratio matching over the rigs'
+        pose-estimation features with a per-pair CENTRAL relative-pose
+        prefilter (the 5pt STEWENIUS stage, `RelNonCentralPosSolver.cpp:
+        127,343-377` — here the batched 8pt solver), multi-keyframe 17-pt
+        non-central RANSAC over the surviving correspondences, sampling
+        covariance with the `cov_thres` gate, and the yaw + translation
+        gate (`placerec_gen_be.cpp:156-167`).  Returns (T_12, n_inliers,
+        cov)."""
         cfg = self.cfg
 
         def rig_rows(mp, row, want):
@@ -273,28 +404,33 @@ class PlaceRecognition:
 
         def rig_data(mp, rows, anchor):
             """Rays + descriptors in a FIXED (len(rows) * max_features)
-            layout (stable jit signatures; invalid feature slots masked)."""
+            layout (stable jit signatures; invalid feature slots masked).
+            Uses the pose-estimation (`_add`) feature set when present
+            (`placerec_gen_be.cpp:99` matches `descriptors_add_`)."""
             F = mp.max_features
             T_w_anchor = jnp.asarray(mp.kf_pose[anchor])
             cam = _camera_of(mp, int(mp.kf_ids[anchor, 1]))
-            origins, dirs, descs, masks = [], [], [], []
+            origins, dirs, descs, masks, bearings = [], [], [], [], []
             for r in rows:
-                uv = jnp.asarray(mp.kp_undist[r], jnp.float64)  # (F, 2)
+                kp, dsc, n = mp.match_features(r)
+                uv = jnp.asarray(kp, jnp.float64)  # (F, 2)
                 bear_c = cam_mod.back_project3(cam, uv)
                 T_anchor_r = geo.pose_relative(T_w_anchor, jnp.asarray(mp.kf_pose[r]))
                 T_anchor_cam = geo.pose_compose(T_anchor_r, cam.T_s_c)
                 d = geo.quat_rotate(geo.pose_q(T_anchor_cam)[None], bear_c)
                 origins.append(jnp.broadcast_to(geo.pose_t(T_anchor_cam), d.shape))
                 dirs.append(d)
-                descs.append(mp.descriptors[r])
-                masks.append(np.arange(F) < int(mp.kf_n_feat[r]))
+                descs.append(dsc)
+                masks.append(np.arange(F) < n)
+                bearings.append(bear_c)
             return (jnp.concatenate(origins), jnp.concatenate(dirs),
-                    np.concatenate(descs), np.concatenate(masks))
+                    np.concatenate(descs), np.concatenate(masks),
+                    jnp.concatenate(bearings))
 
         q_rig = rig_rows(mp_q, q_row, 2)
         c_rig = rig_rows(mp_c, c_row, 3)
-        qo, qd, dq, qmask = rig_data(mp_q, q_rig, q_row)
-        co, cd, dc, cmask = rig_data(mp_c, c_rig, c_row)
+        qo, qd, dq, qmask, qbear = rig_data(mp_q, q_rig, q_row)
+        co, cd, dc, cmask, cbear = rig_data(mp_c, c_rig, c_row)
         if qmask.sum() < cfg.rel_min_img_matches or cmask.sum() < cfg.rel_min_img_matches:
             return None
         if dq.dtype == np.uint8:
@@ -306,22 +442,56 @@ class PlaceRecognition:
                 d_ops.l2_distance_sq(jnp.asarray(dq), jnp.asarray(dc))
             )
         dist = d_ops.masked_dist(dist, jnp.asarray(qmask), jnp.asarray(cmask))
-        midx = np.asarray(d_ops.match_ratio(
-            dist, max_dist=cfg.img_match_thres, ratio=cfg.ratio_thres
-        ))
-        matched = np.where(midx >= 0)[0]
-        if len(matched) < max(cfg.rel_min_img_matches, 17):
-            return None
 
-        qi, _ = _pad_rows(matched.astype(np.int32), base=64)
-        ci, _ = _pad_rows(midx[matched].astype(np.int32), base=64)
-        nm = len(matched)
+        focal = float(mp_q.calib[int(mp_q.kf_ids[q_row, 1])].intrinsics[0])
+        thr5 = math.atan2(cfg.rel_error_thres, focal)
+
+        # per-pair matching + central relative-pose prefilter: every
+        # (query-rig KF, candidate-rig KF) pair must yield enough matches
+        # AND a consistent central pose, else the candidate is rejected
+        # (`RelNonCentralPosSolver::computeNonCentralRelPose`, `:61-144`);
+        # the surviving per-pair inliers feed the non-central stage.
+        Fq, Fc = mp_q.max_features, mp_c.max_features
+        qi_all, ci_all = [], []
+        for iq in range(len(q_rig)):
+            for jc in range(len(c_rig)):
+                block = dist[iq * Fq : (iq + 1) * Fq, jc * Fc : (jc + 1) * Fc]
+                midx = np.asarray(d_ops.match_ratio(
+                    block, max_dist=cfg.img_match_thres, ratio=cfg.ratio_thres
+                ))
+                matched = np.where(midx >= 0)[0]
+                if len(matched) < cfg.rel_min_img_matches:
+                    return None
+                gq = (iq * Fq + matched).astype(np.int32)
+                gc = (jc * Fc + midx[matched]).astype(np.int32)
+                pq, nm5 = _pad_rows(gq, base=64)
+                pc, _ = _pad_rows(gc, base=64)
+                m5 = jnp.arange(len(pq)) < nm5
+                out5 = epipolar.relative_pose_ransac_central(
+                    self._next_key(),
+                    qbear[jnp.asarray(pq) - iq * Fq],
+                    cbear[jnp.asarray(pc) - jc * Fc],
+                    m5,
+                    n_hypotheses=min(cfg.rel_max_iters, 256),
+                    threshold_rad=thr5,
+                )
+                if int(out5["n_inliers"]) < cfg.rel_min_inliers:
+                    return None
+                inl5 = np.asarray(out5["inliers"])[: len(gq)]
+                qi_all.append(gq[inl5[: len(gq)]])
+                ci_all.append(gc[inl5[: len(gc)]])
+
+        qall = np.concatenate(qi_all)
+        call = np.concatenate(ci_all)
+        if len(qall) < 17:
+            return None
+        qi, nm = _pad_rows(qall.astype(np.int32), base=64)
+        ci, _ = _pad_rows(call.astype(np.int32), base=64)
         match_mask = jnp.arange(len(qi)) < nm
         va = qo[jnp.asarray(qi)]
         fa = qd[jnp.asarray(qi)]
         vb = co[jnp.asarray(ci)]
         fb = cd[jnp.asarray(ci)]
-        focal = float(mp_q.calib[int(mp_q.kf_ids[q_row, 1])].intrinsics[0])
         thr = math.atan2(cfg.nc_rp_error, focal)
         out = epipolar.relative_pose_ransac_noncentral(
             self._next_key(), va, fa, vb, fb, match_mask,
@@ -342,10 +512,18 @@ class PlaceRecognition:
             return None
 
         T_12 = np.asarray(out["T_a_b"])
-        # yaw gate (`placerec_gen_be.cpp:156-167`): reject loops implying an
-        # implausible in-place yaw between the matched views
-        ypr = np.asarray(geo.rotation_to_ypr(geo.quat_to_matrix(jnp.asarray(T_12[:4]))))
-        if abs(np.degrees(float(ypr[0]))) > cfg.max_yaw:
+        # yaw + translation gate (`placerec_gen_be.cpp:156-167`): the
+        # relative yaw between the candidate's world yaw and the query's
+        # loop-corrected world yaw, and the loop translation magnitude
+        T_21 = np.asarray(geo.pose_inverse(jnp.asarray(T_12)))  # T_smatch_squery
+        T_w_s_cand = jnp.asarray(mp_c.kf_pose[c_row])
+        yaw_match = float(geo.rotation_to_ypr(geo.quat_to_matrix(T_w_s_cand[:4]))[0])
+        corrected = geo.pose_compose(T_w_s_cand, jnp.asarray(T_21))
+        yaw_query = float(geo.rotation_to_ypr(geo.quat_to_matrix(corrected[:4]))[0])
+        rel_yaw = math.degrees(
+            (yaw_query - yaw_match + math.pi) % (2 * math.pi) - math.pi
+        )
+        if abs(rel_yaw) > cfg.max_yaw or float(np.linalg.norm(T_21[4:7])) > cfg.max_trans:
             return None
         return T_12, int(out["n_inliers"]), cov
 
@@ -367,20 +545,20 @@ class PlaceRecognition:
                     if got is None:
                         continue
                     T_12, n_inl, cov = got
+                    matches = None
                 else:
                     got = self.compute_se3_covins(mp, kf_row, mp_c, c_row)
                     if got is None:
                         continue
-                    T_12, n_inl = got
+                    T_12, n_inl, matches = got
                     cov = None
                 self.last_loop_kf_id = kf_id[0]
                 result = LoopResult(
                     query_id=kf_id, candidate_id=cand_id,
-                    T_12=T_12, n_inliers=n_inl, cov=cov,
+                    T_12=T_12, n_inliers=n_inl, cov=cov, matches=matches,
                 )
                 break
         n_feat = int(mp.kf_n_feat[kf_row])
         if n_feat > 0:
-            db_row = self.db.add_keyframe(kf_id, mp.descriptors[kf_row, :n_feat])
-            self.db_rows[kf_id] = db_row
+            self.db.add_keyframe(kf_id, mp.pr_descriptors(kf_row)[:n_feat])
         return result

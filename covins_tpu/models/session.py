@@ -62,6 +62,10 @@ class AgentSession:
                 self.stats["duplicates"] += 1
                 return None
             out = self._finalize_pending()
+            # place recognition may have MERGED this agent's map away —
+            # re-resolve before mutating (`PerformMerge` re-points all
+            # clients of the fused map, `map_be.cpp:192-244`)
+            mp = self._current_map()
             with self.metrics.timer("ingest_kf"):
                 mp.add_keyframe(msg)
             self._pending_kf_id = tuple(msg.id)
@@ -73,13 +77,22 @@ class AgentSession:
         if isinstance(msg, msgs.MsgLandmark):
             mp = self._current_map()
             if mp.lm_row(tuple(msg.id)) >= 0:
+                # re-sent landmark: merge new observations + refresh pos
+                # (`communicator_be.cpp:172-176`)
                 self.stats["duplicates"] += 1
+                mp.add_landmark(msg)
                 return None
             mp.add_landmark(msg)
             self.stats["landmarks"] += 1
             return None
         if isinstance(msg, msgs.MsgKeyframeUpdate):
-            self._current_map().update_keyframe_pose(msg)
+            if self.cfg.send_updates:
+                self._current_map().update_keyframe_pose(msg)
+            return None
+        if isinstance(msg, msgs.MsgLandmarkUpdate):
+            # gated on `comm.send_updates` (`communicator_be.cpp:157-163`)
+            if self.cfg.send_updates:
+                self._current_map().update_landmark_pos(msg)
             return None
         raise TypeError(f"unknown message type {type(msg)}")
 

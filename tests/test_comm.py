@@ -70,7 +70,7 @@ def _free_port():
 
 
 @pytest.fixture()
-def server():
+def server(tmp_path):
     world = SyntheticWorld.create(n_landmarks=300, seed=1)
     vocab = np.asarray(
         bow_ops.train_vocabulary(jnp.asarray(world.lm_descs), k=64, iters=3)
@@ -84,26 +84,17 @@ def server():
     )
     port = _free_port()
     srv = CovinsServer(vocab, cfg, host="127.0.0.1", port=port,
-                       output_dir="/tmp/covins_test_out")
-    loop = asyncio.new_event_loop()
-
-    def run():
-        asyncio.set_event_loop(loop)
-        loop.run_until_complete(srv.serve())
-
-    th = threading.Thread(target=run, daemon=True)
-    th.start()
-    time.sleep(0.3)
-    yield srv, port, world
-    loop.call_soon_threadsafe(loop.stop)
-    srv._stop.set()
+                       output_dir=str(tmp_path))
+    srv.start_background()
+    yield srv, port, world, str(tmp_path)
+    srv.stop()
 
 
 def test_agent_reconnect_resume(server):
     """An agent that drops mid-stream and reconnects with its old id
     replays from the start; duplicates are skipped (the reference fatals
     on this, readme.md:315-318 — here it is supported)."""
-    srv, port, world = server
+    srv, port, world, _ = server
     agent = SyntheticAgent(world, client_id=0, n_keyframes=10)
     stream = list(agent.messages())
     c1 = AgentClient("127.0.0.1", port)
@@ -130,7 +121,7 @@ def test_agent_reconnect_resume(server):
 
 
 def test_server_end_to_end(server):
-    srv, port, world = server
+    srv, port, world, out_dir = server
     client = AgentClient("127.0.0.1", port)
     assert client.client_id == 0
     agent = SyntheticAgent(world, client_id=client.client_id, n_keyframes=12)
@@ -147,10 +138,10 @@ def test_server_end_to_end(server):
     assert stats["result"]["maps"]["0"]["n_kf"] == 12
     assert stats["result"]["maps"]["0"]["n_lm"] > 30
     client.finish()
-    # finish triggers trajectory write-out
+    # finish triggers trajectory write-out (atomic: the file appears whole)
     deadline = time.time() + 20
     import os
-    path = "/tmp/covins_test_out/KF_0_ftum.csv"
+    path = os.path.join(out_dir, "KF_0_ftum.csv")
     while time.time() < deadline and not os.path.exists(path):
         time.sleep(0.2)
     assert os.path.exists(path)
