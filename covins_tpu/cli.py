@@ -77,7 +77,8 @@ def cmd_agent(args):
 def cmd_admin(args):
     from covins_tpu.comm.client import AgentClient
 
-    client = AgentClient(args.host, args.port)
+    # admin verbs queue behind pending ingest work — allow a deep queue
+    client = AgentClient(args.host, args.port, timeout=600.0)
     kw = {}
     if args.map_id is not None:
         kw["map_id"] = args.map_id
@@ -113,6 +114,10 @@ def cmd_ate(args):
 
 
 def main(argv=None):
+    # reference-matching double precision (`typedefs_base.hpp:129`)
+    import jax
+    jax.config.update("jax_enable_x64", True)
+
     ap = argparse.ArgumentParser(prog="covins_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

@@ -25,6 +25,10 @@ class AgentClient:
         # server-optimized poses, collected while reading replies or via
         # `poll_updates()`
         self.updates: list = []
+        # persistent receive buffer: a timeout mid-frame (e.g. the server's
+        # periodic `data_to_client` push racing `poll_updates`) must never
+        # discard partially-read bytes, or the wire stream desynchronizes
+        self._rxbuf = bytearray()
         self.client_id = self._recv_handshake()
         if resume_client_id is not None:
             self.sock.sendall(wire.frame(
@@ -33,20 +37,29 @@ class AgentClient:
             ))
             self.client_id = resume_client_id
 
-    def _recv_exact(self, n: int) -> bytes:
-        buf = b""
-        while len(buf) < n:
-            chunk = self.sock.recv(n - len(buf))
-            if not chunk:
-                raise ConnectionError("server closed connection")
-            buf += chunk
-        return buf
+    def _try_frame(self):
+        """Pop one complete frame from the buffer, or None.  Bytes are only
+        consumed once the FULL frame is present, so a timeout can never
+        split a frame."""
+        if len(self._rxbuf) < wire.HEADER_SIZE:
+            return None
+        msg_type, plen = wire.parse_header(bytes(self._rxbuf[: wire.HEADER_SIZE]))
+        total = wire.HEADER_SIZE + plen
+        if len(self._rxbuf) < total:
+            return None
+        payload = bytes(self._rxbuf[wire.HEADER_SIZE : total])
+        del self._rxbuf[:total]
+        return msg_type, payload
 
     def _recv_frame(self):
-        hdr = self._recv_exact(wire.HEADER_SIZE)
-        msg_type, plen = wire.parse_header(hdr)
-        payload = self._recv_exact(plen)
-        return msg_type, payload
+        while True:
+            frame = self._try_frame()
+            if frame is not None:
+                return frame
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("server closed connection")
+            self._rxbuf += chunk
 
     def _recv_handshake(self) -> int:
         msg_type, payload = self._recv_frame()
@@ -60,16 +73,26 @@ class AgentClient:
         self.sock.sendall(wire.encode_message(msg))
 
     def poll_updates(self, timeout: float = 0.0) -> list:
-        """Drain any server-pushed messages; returns the accumulated list."""
+        """Drain any server-pushed messages; returns the accumulated list.
+
+        Partial frames stay in `_rxbuf` across calls (never dropped) and
+        the socket's previous timeout is restored afterwards."""
+        prev_timeout = self.sock.gettimeout()
         self.sock.settimeout(timeout if timeout > 0 else 0.000001)
         try:
             while True:
-                msg_type, payload = self._recv_frame()
-                self._stash(msg_type, payload)
+                frame = self._try_frame()
+                if frame is not None:
+                    self._stash(*frame)
+                    continue
+                chunk = self.sock.recv(65536)
+                if not chunk:
+                    break  # server closed; keep whatever was drained
+                self._rxbuf += chunk
         except (socket.timeout, BlockingIOError):
             pass
         finally:
-            self.sock.settimeout(None)
+            self.sock.settimeout(prev_timeout)
         return self.updates
 
     def admin(self, verb: str, **kw) -> dict:

@@ -71,7 +71,15 @@ class CovinsServer:
             try:
                 if kind == "msg":
                     client_id, msg = payload
-                    self.sessions[client_id].ingest(msg)
+                    sess = self.sessions.get(client_id)
+                    if sess is None:
+                        # sessions (and their maps) are created LAZILY on
+                        # the first data message, after any resume
+                        # handshake — so a reconnecting agent never leaks
+                        # an orphan session/map for its provisional id
+                        sess = AgentSession(client_id, self.manager, self.cfg)
+                        self.sessions[client_id] = sess
+                    sess.ingest(msg)
                 elif kind == "finish":
                     client_id = payload
                     sess = self.sessions.get(client_id)
@@ -181,16 +189,21 @@ class CovinsServer:
                            writer: asyncio.StreamWriter):
         client_id = self._next_client_id
         self._next_client_id += 1
-        self.sessions[client_id] = AgentSession(client_id, self.manager, self.cfg)
+        # NOTE: no session/map is created yet — the worker creates it on
+        # the first data message, so a resume handshake can re-bind the
+        # connection to its old id without leaking a provisional session
         # handshake: assign the client id (`communicator_be.cpp:41-48`)
         hs = wire.frame(msgs.MSG_HANDSHAKE,
                         json.dumps({"client_id": client_id}).encode())
         writer.write(hs)
         await writer.drain()
+        # ctx is shared with the _data_to_agent task so a resume re-binds
+        # the server->agent push stream too
+        ctx = {"client_id": client_id}
         send_task = None
         if self.cfg.data_to_client:
             send_task = asyncio.ensure_future(
-                self._data_to_agent(client_id, writer)
+                self._data_to_agent(ctx, writer)
             )
         try:
             while True:
@@ -205,8 +218,9 @@ class CovinsServer:
                     # reconnecting agent's duplicate KF ids, readme.md:315-318)
                     req = json.loads(bytes(payload))
                     rid = int(req.get("resume_client_id", -1))
-                    if rid in self.sessions:
+                    if rid >= 0:
                         client_id = rid
+                        ctx["client_id"] = rid
                     continue
                 if msg_type == MSG_ADMIN:
                     cmd = json.loads(bytes(payload))
@@ -235,9 +249,10 @@ class CovinsServer:
                 pass
             writer.close()
 
-    async def _data_to_agent(self, client_id: int, writer: asyncio.StreamWriter):
+    async def _data_to_agent(self, ctx: dict, writer: asyncio.StreamWriter):
         """Periodic server->agent data at `comm.to_agent_freq` when
-        `comm.data_to_client` (`communicator_be.cpp:215-231`)."""
+        `comm.data_to_client` (`communicator_be.cpp:215-231`).  `ctx` holds
+        the connection's (possibly resumed) client id."""
         import functools
         period = 1.0 / max(float(self.cfg.to_agent_freq), 1e-3)
         try:
@@ -245,7 +260,7 @@ class CovinsServer:
                 await asyncio.sleep(period)
                 reply: dict = {}
                 done = threading.Event()
-                self._work.put(("collect", (client_id, reply), done))
+                self._work.put(("collect", (ctx["client_id"], reply), done))
                 await asyncio.get_event_loop().run_in_executor(
                     None, functools.partial(done.wait, 5.0))
                 msg = reply.get("msg")
@@ -288,9 +303,22 @@ class CovinsServer:
 
     def stop(self):
         """Thread-safe shutdown; joins the background thread if one was
-        started with `start_background()`."""
+        started with `start_background()`.  Waits briefly for `serve()` to
+        initialize its loop/event so an early call cannot silently no-op
+        and leave the server running."""
+        import time as _time
+        deadline = _time.monotonic() + 5.0
+        while (
+            (self._loop is None or self._shutdown_evt is None)
+            and self._thread is not None
+            and self._thread.is_alive()
+            and _time.monotonic() < deadline
+        ):
+            _time.sleep(0.01)
         if self._loop is not None and self._shutdown_evt is not None:
             self._loop.call_soon_threadsafe(self._shutdown_evt.set)
+        elif self._thread is not None and self._thread.is_alive():
+            raise RuntimeError("server loop never initialized; cannot stop")
         if self._thread is not None:
             self._thread.join(timeout=10.0)
             self._thread = None

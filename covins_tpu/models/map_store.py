@@ -312,7 +312,9 @@ class Map:
             row = self._lm_index[key]
             for (kf_id, client_id), feat_idx in msg.observations.items():
                 krow = self.kf_row((kf_id, client_id))
-                if krow >= 0 and self.kf_feat_lm[krow, int(feat_idx)] != row:
+                if krow >= 0:
+                    # add_observation dedupes and retires a conflicting
+                    # binding at the slot (see its slot-consistency guard)
                     self.add_observation(krow, row, int(feat_idx))
             self.update_landmark_pos(msg)
             return row
@@ -354,6 +356,21 @@ class Map:
         return True
 
     def add_observation(self, kf_row: int, lm_row: int, feat_idx: int):
+        old = self.kf_feat_lm[kf_row, feat_idx]
+        if old == lm_row:
+            return  # slot already bound to this landmark
+        if old >= 0:
+            # the (kf, feat) slot is owned by a DIFFERENT live landmark:
+            # mask its COO observation so covisibility never double-counts
+            # the slot and a later erase of the old landmark cannot clobber
+            # the new binding
+            o = self.n_obs
+            sel = (
+                (self.obs_kf[:o] == kf_row)
+                & (self.obs_feat[:o] == feat_idx)
+                & self.obs_mask[:o]
+            )
+            self.obs_mask[:o][sel] = False
         i = self.n_obs
         self._ensure_obs(i + 1)
         self.obs_kf[i] = kf_row
@@ -404,7 +421,10 @@ class Map:
         self.obs_mask[: self.n_obs][sel] = False
         mask_idx = np.where(sel)[0]
         for i in mask_idx:
-            self.kf_feat_lm[self.obs_kf[i], self.obs_feat[i]] = -1
+            # only release slots still bound to THIS landmark — a slot may
+            # have been re-pointed (fusion / re-sent landmark merge)
+            if self.kf_feat_lm[self.obs_kf[i], self.obs_feat[i]] == row:
+                self.kf_feat_lm[self.obs_kf[i], self.obs_feat[i]] = -1
         key = tuple(self.lm_ids[row])
         self._lm_index.pop(key, None)
 
@@ -456,7 +476,11 @@ class Map:
                 self.kf_feat_lm[kf, ft] = target
                 target_kfs.add(kf)
             elif self.kf_feat_lm[kf, ft] == target:
-                continue
+                # duplicate of an observation target already owns at this
+                # exact (kf, feat) slot — retire it now so a later
+                # erase_landmark(tofuse) cannot leave a live COO entry
+                # pointing at a slot owned by target
+                self.obs_mask[i] = False
             else:
                 non_moved += 1
         if non_moved < 2:

@@ -467,10 +467,13 @@ class PlaceRecognition:
                 pq, nm5 = _pad_rows(gq, base=64)
                 pc, _ = _pad_rows(gc, base=64)
                 m5 = jnp.arange(len(pq)) < nm5
+                # qbear/cbear are concatenated over ALL rig rows in the same
+                # iq*Fq+f layout as `dist`, so the global padded indices index
+                # them directly (pad rows are masked by m5).
                 out5 = epipolar.relative_pose_ransac_central(
                     self._next_key(),
-                    qbear[jnp.asarray(pq) - iq * Fq],
-                    cbear[jnp.asarray(pc) - jc * Fc],
+                    qbear[jnp.asarray(pq)],
+                    cbear[jnp.asarray(pc)],
                     m5,
                     n_hypotheses=min(cfg.rel_max_iters, 256),
                     threshold_rad=thr5,
