@@ -82,6 +82,8 @@ class SyntheticAgent:
         desc_bit_flips: int = 4,
         pose_drift: float = 0.0,
         seed: Optional[int] = None,
+        send_updates: bool = False,
+        update_window_size: int = 3,
     ):
         self.world = world
         self.client_id = client_id
@@ -98,6 +100,15 @@ class SyntheticAgent:
         # revisit mints a NEW landmark id (like a real VIO front-end that
         # lost track — loop closure, not tracking, must re-associate).
         self.track_gap = 3
+        # agent-side update stream (`comm.send_updates` plane): after each
+        # new keyframe, re-send the previous `update_window_size` keyframes
+        # as pose-update messages + their landmarks as position updates
+        # (the reference's `sent_once_` path,
+        # `orb_slam3/src/comm/communicator.cpp:54-81`;
+        # window: `config_comm.yaml:20` update_window_size)
+        self.send_updates = send_updates
+        self.update_window_size = update_window_size
+        self._lm_first_kf: dict[int, list[int]] = {}  # kf -> client lm ids
         self._lm_client_id: dict[int, int] = {}  # world idx -> client lm id
         self._lm_last_seen: dict[int, int] = {}
         self.lm_world_idx: dict[int, int] = {}  # client lm id -> world idx
@@ -228,8 +239,10 @@ class SyntheticAgent:
             # lifts pos_ref through its drifted pose chain).  Computing
             # pos_ref against the drifted pose instead would cancel the
             # drift exactly and leave loop closure nothing to correct.
+            minted = []
             for j, wi in new_world_idx:
                 lid = int(lm_ids[j])
+                minted.append(lid)
                 pos_ref = np.asarray(
                     geo.pose_apply(
                         geo.pose_inverse(jnp.asarray(np.asarray(self.traj.poses)[k])),
@@ -242,3 +255,34 @@ class SyntheticAgent:
                     pos_ref=pos_ref,
                     observations={(k, self.client_id): int(j)},
                 )
+            self._lm_first_kf[k] = minted
+
+            # update plane: re-send the previous window's keyframes as
+            # pose updates relative to KF0 (`ConvertToMsg` update layout,
+            # `KeyFrame.cc:45+`) and their landmarks as position updates
+            if self.send_updates and k > 0:
+                from covins_tpu.utils import npgeo
+                lo = max(0, k - self.update_window_size)
+                for u in range(lo, k):
+                    yield msgs.MsgKeyframeUpdate(
+                        id=(u, self.client_id),
+                        id_reference=(0, self.client_id),
+                        T_sref_s=npgeo.pose_relative(
+                            self._vio_poses[0], self._vio_poses[u]
+                        ),
+                        velocity=np.asarray(self.traj.vels[u]),
+                        bias_gyro=np.zeros(3),
+                        bias_acc=np.zeros(3),
+                    )
+                    for lid in self._lm_first_kf.get(u, []):
+                        wi = self.lm_world_idx[lid]
+                        yield msgs.MsgLandmarkUpdate(
+                            id=(lid, self.client_id),
+                            id_reference=(u, self.client_id),
+                            pos_ref=npgeo.pose_apply(
+                                npgeo.pose_inverse(
+                                    np.asarray(self.traj.poses)[u]
+                                ),
+                                self.world.landmarks[wi],
+                            ),
+                        )

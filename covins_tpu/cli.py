@@ -115,8 +115,18 @@ def cmd_ate(args):
 
 def main(argv=None):
     # reference-matching double precision (`typedefs_base.hpp:129`)
+    import os
+
     import jax
     jax.config.update("jax_enable_x64", True)
+    # persistent XLA compile cache: server restarts skip recompilation
+    cache = os.environ.get("COVINS_TPU_COMPILE_CACHE",
+                           os.path.expanduser("~/.cache/covins_tpu_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.25)
+    except Exception:
+        pass
 
     ap = argparse.ArgumentParser(prog="covins_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)

@@ -62,24 +62,45 @@ class CovinsServer:
     # ------------------------------------------------------------ worker
     def _work_loop(self):
         """Single map-mutation thread (the checkout-protocol replacement)."""
+        held = None  # control item deferred while draining a msg batch
         while not self._stop.is_set():
-            try:
-                item = self._work.get(timeout=0.2)
-            except queue.Empty:
-                continue
+            if held is not None:
+                item, held = held, None
+            else:
+                try:
+                    item = self._work.get(timeout=0.2)
+                except queue.Empty:
+                    continue
             kind, payload, done = item
             try:
                 if kind == "msg":
-                    client_id, msg = payload
-                    sess = self.sessions.get(client_id)
-                    if sess is None:
-                        # sessions (and their maps) are created LAZILY on
-                        # the first data message, after any resume
-                        # handshake — so a reconnecting agent never leaks
-                        # an orphan session/map for its provisional id
-                        sess = AgentSession(client_id, self.manager, self.cfg)
-                        self.sessions[client_id] = sess
-                    sess.ingest(msg)
+                    # drain consecutive data messages into one window so
+                    # the session's batched ingest amortizes device work
+                    # across keyframes (stop at the first control item)
+                    batches: Dict[int, list] = {payload[0]: [payload[1]]}
+                    drained = 1
+                    while drained < 256:
+                        try:
+                            nxt = self._work.get_nowait()
+                        except queue.Empty:
+                            break
+                        if nxt[0] != "msg":
+                            held = nxt
+                            break
+                        batches.setdefault(nxt[1][0], []).append(nxt[1][1])
+                        drained += 1
+                    for client_id, window in batches.items():
+                        sess = self.sessions.get(client_id)
+                        if sess is None:
+                            # sessions (and their maps) are created LAZILY
+                            # on the first data message, after any resume
+                            # handshake — so a reconnecting agent never
+                            # leaks an orphan session/map for its
+                            # provisional id
+                            sess = AgentSession(client_id, self.manager,
+                                                self.cfg)
+                            self.sessions[client_id] = sess
+                        sess.ingest_many(window)
                 elif kind == "finish":
                     client_id = payload
                     sess = self.sessions.get(client_id)
@@ -118,10 +139,8 @@ class CovinsServer:
         kf0 = mp.kf_row((0, client_id))
         if kf0 < 0:
             return None
-        from covins_tpu.utils import geometry as geo
-        T_sref_s = np.asarray(
-            geo.pose_relative(mp.kf_pose[kf0], mp.kf_pose[newest])
-        )
+        from covins_tpu.utils import npgeo
+        T_sref_s = npgeo.pose_relative(mp.kf_pose[kf0], mp.kf_pose[newest])
         return msgs.MsgKeyframeUpdate(
             id=tuple(int(x) for x in mp.kf_ids[newest]),
             id_reference=(0, client_id),

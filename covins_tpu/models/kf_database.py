@@ -26,6 +26,47 @@ def _set_row(db, row, vec):
     return db.at[row].set(vec)
 
 
+@partial(jax.jit, static_argnames=("metric",), donate_argnums=(0,))
+def _insert_and_score(db, vocab, descs, feat_mask, rows, metric: str):
+    """Insert a WINDOW of keyframes and score each against the database.
+
+    One device dispatch replaces the per-keyframe transform+query+insert
+    loop (`kf_database.cpp:41-187` runs per KF on the reference server):
+
+      1. word assignment for all W*F descriptors (one Hamming/L2 matmul)
+      2. W tf-idf BoW vectors
+      3. scatter the W rows into the database
+      4. scores = (W, V) x (cap, V)^T cosine matmul
+      5. common-words counts via a binarized matmul
+
+    Sequential query semantics (each query sees only rows inserted before
+    it) are restored host-side by masking rows >= the query's own row.
+
+    Args:
+      db: (cap, V) database matrix (donated).
+      descs: (W, F, B) padded descriptor window.
+      feat_mask: (W, F) validity.
+      rows: (W,) destination rows; entries >= cap are dropped (pads).
+    Returns (db', scores (W, cap), common (W, cap)).
+    """
+    w, f, b = descs.shape
+    flat = descs.reshape(w * f, b)
+    from covins_tpu.ops import descriptors as d_ops
+    if metric == "hamming":
+        # Pallas packed kernel on TPU (flat is W*F x B — MXU-sized), ±1
+        # matmul elsewhere (`ops/descriptors.hamming_distance_best`)
+        dist = d_ops.hamming_distance_best(flat, vocab)
+    else:
+        dist = d_ops.l2_distance_sq(flat.astype(vocab.dtype), vocab)
+    words = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    words = jnp.where(feat_mask.reshape(-1), words, -1).reshape(w, f)
+    vecs = bow_ops.bow_vectors_batch(words, vocab.shape[0])  # (W, V)
+    db = db.at[rows].set(vecs, mode="drop")
+    scores = vecs @ db.T  # (W, cap)
+    common = (vecs > 0).astype(jnp.float32) @ (db > 0).astype(jnp.float32).T
+    return db, scores, common.astype(jnp.int32)
+
+
 class KeyframeDatabase:
     """Append-only BoW database over all keyframes of all maps."""
 
@@ -109,6 +150,83 @@ class KeyframeDatabase:
             return False
         self._mask[row] = False
         return True
+
+    def add_and_query_batch(self, kf_ids: list, descs_list: list):
+        """Insert a window of keyframes in one device dispatch and return
+        per-query RAW retrieval data with sequential-query semantics.
+
+        Returns a list of dicts (parallel to inputs), each with:
+          row      — the inserted database row,
+          scores   — (n,) float raw cosine scores over all live rows,
+          common   — (n,) int shared-word counts,
+          valid    — (n,) bool: live rows inserted BEFORE this query
+        (already-present ids are scored in place without re-insertion).
+        """
+        w = len(kf_ids)
+        if w == 0:
+            return []
+        kf_ids = [tuple(int(x) for x in k) for k in kf_ids]
+        rows = np.full(w, -1, np.int64)
+        fresh = []
+        for i, kid in enumerate(kf_ids):
+            existing = self.row_of.get(kid, -1)
+            if existing >= 0:
+                rows[i] = existing
+            else:
+                rows[i] = self.n + len(fresh)
+                fresh.append(i)
+        n_after = self.n + len(fresh)
+        self._ensure(n_after)
+        cap = self._db.shape[0]
+
+        # pad the window: W and F to power-of-two buckets for stable jit
+        f_need = max(int(d.shape[0]) for d in descs_list)
+        f_bucket = 128
+        while f_bucket < f_need:
+            f_bucket *= 2
+        w_bucket = 4
+        while w_bucket < w:
+            w_bucket *= 2
+        descs = np.zeros((w_bucket, f_bucket) + descs_list[0].shape[1:],
+                         descs_list[0].dtype)
+        feat_mask = np.zeros((w_bucket, f_bucket), bool)
+        dest = np.full(w_bucket, cap, np.int64)  # cap => dropped by scatter
+        for i in range(w):
+            n = descs_list[i].shape[0]
+            descs[i, :n] = descs_list[i]
+            feat_mask[i, :n] = True
+            if rows[i] >= self.n:  # fresh insertion
+                dest[i] = rows[i]
+        db, scores, common = _insert_and_score(
+            self._db, self.vocab, jnp.asarray(descs), jnp.asarray(feat_mask),
+            jnp.asarray(dest), self.metric,
+        )
+        self._db = db
+        scores = np.asarray(scores[:w, :n_after])
+        common = np.asarray(common[:w, :n_after])
+
+        # host bookkeeping for the fresh rows
+        for i in fresh:
+            r = int(rows[i])
+            self._mask[r] = True
+            self.row_ids.append(kf_ids[i])
+            self.row_of[kf_ids[i]] = r
+            self.row_kf[r] = kf_ids[i][0]
+            self.row_client[r] = kf_ids[i][1]
+        self.n = n_after
+
+        out = []
+        live = self._mask[:n_after].copy()
+        for i in range(w):
+            valid = live.copy()
+            valid[int(rows[i]):] = False  # sequential: only earlier rows
+            out.append({
+                "row": int(rows[i]),
+                "scores": scores[i],
+                "common": common[i],
+                "valid": valid,
+            })
+        return out
 
     def query(
         self,

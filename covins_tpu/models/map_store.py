@@ -28,16 +28,17 @@ import numpy as np
 
 from covins_tpu.comm import messages as msgs
 from covins_tpu.utils import geometry as geo
+from covins_tpu.utils import npgeo
 
 IdPair = Tuple[int, int]
 
 
 def _np_pose_compose(p1, p2):
-    return np.asarray(geo.pose_compose(p1, p2))
+    return npgeo.pose_compose(p1, p2)
 
 
 def _np_pose_inverse(p):
-    return np.asarray(geo.pose_inverse(p))
+    return npgeo.pose_inverse(p)
 
 
 def _grow(arr: np.ndarray, new_cap: int) -> np.ndarray:
@@ -257,7 +258,7 @@ class Map:
         elif msg.T_w_s_vio is not None:
             T_w_s = np.asarray(msg.T_w_s_vio, np.float64)
         else:
-            T_w_s = np.asarray(geo.pose_identity(np.float64))
+            T_w_s = npgeo.pose_identity()
         self.kf_pose[row] = T_w_s
         self.kf_pose_vio[row] = (
             np.asarray(msg.T_w_s_vio, np.float64)
@@ -326,9 +327,7 @@ class Map:
         self.lm_ids[row] = tuple(msg.id)
         self.lm_ref[row] = ref_row
         self.lm_first_kf[row] = ref_row
-        pos_w = np.asarray(
-            geo.pose_apply(self.kf_pose[ref_row], np.asarray(msg.pos_ref))
-        )
+        pos_w = npgeo.pose_apply(self.kf_pose[ref_row], np.asarray(msg.pos_ref))
         self.lm_pos[row] = pos_w
         self.lm_mask[row] = True
         self.n_lm = row + 1
@@ -350,8 +349,8 @@ class Map:
         if ref_row < 0:
             return False
         self.lm_ref[row] = ref_row
-        self.lm_pos[row] = np.asarray(
-            geo.pose_apply(self.kf_pose[ref_row], np.asarray(msg.pos_ref))
+        self.lm_pos[row] = npgeo.pose_apply(
+            self.kf_pose[ref_row], np.asarray(msg.pos_ref)
         )
         return True
 
@@ -431,23 +430,25 @@ class Map:
     def covis_weights(self, row: int) -> np.ndarray:
         """Covisibility weights of one keyframe vs all others (shared-
         landmark counts, `UpdateCovisibilityConnections`,
-        `keyframe_be.cpp:559-608`), computed at CAPACITY shapes so the jit
-        signature stays stable across the stream."""
-        import jax.numpy as jnp
-        from covins_tpu.ops import covisibility as cov_ops
+        `keyframe_be.cpp:559-608`).
 
-        cap_kf = self.kf_ids.shape[0]
-        cap_lm = max(self.lm_ids.shape[0], 1)
-        w = np.asarray(
-            cov_ops.covis_weights_for(
-                jnp.asarray(row),
-                jnp.asarray(self.obs_kf),
-                jnp.asarray(self.obs_lm),
-                jnp.asarray(self.obs_mask),
-                n_kf=cap_kf, n_lm=cap_lm,
-            )
-        )
-        return w[: self.n_kf]
+        Host numpy on the live COO prefix: a single-row query is
+        latency-bound, and shipping the capacity-shaped observation arrays
+        to the device per keyframe costs far more than the O(n_obs)
+        segment counts (batched device variant: `ops.covisibility.
+        covis_weights_batch`, used by the sharded retrieval path)."""
+        o = self.n_obs
+        live = self.obs_mask[:o]
+        n_lm = max(self.n_lm, 1)
+        seen = np.zeros(n_lm, bool)
+        mine = live & (self.obs_kf[:o] == row)
+        seen[self.obs_lm[:o][mine]] = True
+        contrib = live & seen[np.minimum(self.obs_lm[:o], n_lm - 1)]
+        w = np.bincount(self.obs_kf[:o][contrib], minlength=self.n_kf)
+        w = w[: self.n_kf].astype(np.int32)
+        if row < self.n_kf:
+            w[row] = 0
+        return w
 
     def landmark_obs(self, lm_row: int) -> np.ndarray:
         """Indices into the observation COO for a landmark's live obs."""
@@ -1032,13 +1033,25 @@ class Map:
         descs = np.zeros((bucket, max_obs_pad, self.desc_bytes), self.desc_dtype)
         centers = np.zeros((bucket, max_obs_pad, 3), np.float64)
         mask = np.zeros((bucket, max_obs_pad), bool)
-        for i, lr in enumerate(lm_rows):
-            sel = np.where((self.obs_lm[:o] == lr) & self.obs_mask[:o])[0][:max_obs_pad]
-            for j, oi in enumerate(sel):
-                kr, ft = self.obs_kf[oi], self.obs_feat[oi]
-                descs[i, j] = self.descriptors[kr, ft]
-                centers[i, j] = self.kf_pose[kr, 4:7]
-                mask[i, j] = True
+        # vectorized cohort gather: one pass over the obs COO instead of a
+        # per-landmark scan (O(n_obs) total, not O(cohort * n_obs))
+        pos_of = np.full(self.lm_ids.shape[0], -1, np.int32)
+        pos_of[lm_rows] = np.arange(n_rows, dtype=np.int32)
+        ci = pos_of[self.obs_lm[:o]]
+        idx = np.where(self.obs_mask[:o] & (ci >= 0))[0]
+        if len(idx):
+            ci = ci[idx]
+            order = np.argsort(ci, kind="stable")
+            idx, ci = idx[order], ci[order]
+            # slot of each observation within its landmark's padded window
+            grp_start = np.searchsorted(ci, np.arange(n_rows))
+            slots = np.arange(len(ci)) - grp_start[ci]
+            keep = slots < max_obs_pad
+            idx, ci, slots = idx[keep], ci[keep], slots[keep]
+            kr, ft = self.obs_kf[idx], self.obs_feat[idx]
+            descs[ci, slots] = self.descriptors[kr, ft]
+            centers[ci, slots] = self.kf_pose[kr, 4:7]
+            mask[ci, slots] = True
         lm_pos_pad = np.zeros((bucket, 3), np.float64)
         lm_pos_pad[:n_rows] = self.lm_pos[lm_rows]
         rep = np.asarray(

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Dict, Optional
 
 import jax
@@ -109,11 +110,27 @@ class PlaceRecognition:
         self._key, k = jax.random.split(self._key)
         return k
 
+    # verbose rejection tracing (the reference's COUT diagnostics role);
+    # enable with COVINS_TPU_PR_DEBUG=1
+    _debug = os.environ.get("COVINS_TPU_PR_DEBUG") == "1"
+
+    def _reject(self, stage, **kw):
+        if self._debug:
+            print(f"[placerec] reject at {stage}: " +
+                  ", ".join(f"{k}={v}" for k, v in kw.items()), flush=True)
+        return None
+
     # ------------------------------------------------------------- detection
-    def detect_loop(self, mp: Map, kf_row: int) -> list[tuple]:
+    def detect_loop(self, mp: Map, kf_row: int, pre: Optional[dict] = None
+                    ) -> list[tuple]:
         """BoW retrieval + exclusions + consistency grouping
         (`DetectLoop`, `placerec_be.cpp:346-463`).  Returns candidate
-        keyframe IDs (possibly in other maps)."""
+        keyframe IDs (possibly in other maps).
+
+        ``pre`` carries precomputed raw retrieval data from
+        `KeyframeDatabase.add_and_query_batch` (scores/common/valid) so a
+        WINDOW of keyframes costs one device dispatch; without it the
+        single-query device path is used."""
         cfg = self.cfg
         kf_id = tuple(mp.kf_ids[kf_row])
         if kf_id[0] < cfg.start_after_kf:
@@ -138,25 +155,44 @@ class PlaceRecognition:
         excl |= (row_client == kf_id[1]) & (
             np.abs(row_kf - kf_id[0]) < cfg.min_loop_dist
         )
-        for r in np.where(covis > 0)[0]:
+        covis_rows = np.where(covis > 0)[0]
+        covis_dbr = np.full(len(covis_rows), -1, np.int64)
+        for j, r in enumerate(covis_rows):
             dbr = self.db.row_of.get(tuple(int(x) for x in mp.kf_ids[r]), -1)
             if dbr >= 0:
                 excl[dbr] = True
-        exclude_rows = np.where(excl)[0]
+                covis_dbr[j] = dbr
 
-        scores, _ = self.db.query(descs, exclude_rows=exclude_rows)
+        if pre is not None:
+            # host-side gating over the precomputed raw scores — mirrors
+            # `KeyframeDatabase.query` (0.8*max-common-words gate) exactly
+            raw_s = pre["scores"][:n_db]
+            raw_c = pre["common"][:n_db]
+            m = pre["valid"][:n_db] & ~excl
+            if not m.any():
+                self._consistent_groups = []
+                return []
+            max_common = int((raw_c * m).max())
+            keep = raw_c >= 0.8 * max_common
+            scores = np.where(keep & m, raw_s, -1.0)
+        else:
+            scores, _ = self.db.query(descs, exclude_rows=np.where(excl)[0])
         if scores.size == 0:
             return []
 
         # min covisible BoW score (`placerec_be.cpp:372-385`)
-        covis_db = [
-            self.db.row_of.get(tuple(int(x) for x in mp.kf_ids[r]), -1)
-            for r in np.where(covis >= cfg.covis_thres)[0]
-        ]
-        covis_db = [r for r in covis_db if r >= 0]
+        covis_sel = covis[covis_rows] >= cfg.covis_thres
+        covis_db = [int(r) for r in covis_dbr[covis_sel] if r >= 0]
+        if pre is not None:
+            # raw scores against db rows ARE cosine(query, row); restrict
+            # to rows inserted before the query (sequential semantics)
+            covis_db = [r for r in covis_db if pre["valid"][r]]
         if covis_db:
-            qv = self.db.bow_vector(descs)
-            sims = np.asarray(self.db._db[jnp.asarray(covis_db)] @ qv)
+            if pre is not None:
+                sims = pre["scores"][covis_db]
+            else:
+                qv = self.db.bow_vector(descs)
+                sims = np.asarray(self.db._db[jnp.asarray(covis_db)] @ qv)
             min_score = max(float(sims.min()), 0.05)
         else:
             min_score = 0.05
@@ -230,7 +266,7 @@ class PlaceRecognition:
         # ---- stage 1: brute-force landmark matching -----------------------
         dq, nq = _pad_rows(mp_q.descriptors[q_row, q_feats])
         dc, nc = _pad_rows(mp_c.descriptors[c_row, c_feats])
-        dist = d_ops.hamming_distance(jnp.asarray(dq), jnp.asarray(dc))
+        dist = d_ops.hamming_distance_best(jnp.asarray(dq), jnp.asarray(dc))
         dist = d_ops.masked_dist(
             dist, jnp.arange(dq.shape[0]) < nq, jnp.arange(dc.shape[0]) < nc
         )
@@ -432,9 +468,10 @@ class PlaceRecognition:
         qo, qd, dq, qmask, qbear = rig_data(mp_q, q_rig, q_row)
         co, cd, dc, cmask, cbear = rig_data(mp_c, c_rig, c_row)
         if qmask.sum() < cfg.rel_min_img_matches or cmask.sum() < cfg.rel_min_img_matches:
-            return None
+            return self._reject("rig_features", nq=int(qmask.sum()),
+                                nc=int(cmask.sum()))
         if dq.dtype == np.uint8:
-            dist = d_ops.hamming_distance(jnp.asarray(dq), jnp.asarray(dc))
+            dist = d_ops.hamming_distance_best(jnp.asarray(dq), jnp.asarray(dc))
         else:
             # SIFT mode (`feat.type: SIFT`): L2 matching, FLANN role
             # (`placerec_gen_be.cpp:82-126`); thresholds are linear L2
@@ -461,7 +498,8 @@ class PlaceRecognition:
                 ))
                 matched = np.where(midx >= 0)[0]
                 if len(matched) < cfg.rel_min_img_matches:
-                    return None
+                    return self._reject("pair_matches", pair=(iq, jc),
+                                        n=len(matched))
                 gq = (iq * Fq + matched).astype(np.int32)
                 gc = (jc * Fc + midx[matched]).astype(np.int32)
                 pq, nm5 = _pad_rows(gq, base=64)
@@ -479,7 +517,9 @@ class PlaceRecognition:
                     threshold_rad=thr5,
                 )
                 if int(out5["n_inliers"]) < cfg.rel_min_inliers:
-                    return None
+                    return self._reject("pair_5pt", pair=(iq, jc),
+                                        n_inl=int(out5["n_inliers"]),
+                                        need=cfg.rel_min_inliers)
                 inl5 = np.asarray(out5["inliers"])[: len(gq)]
                 qi_all.append(gq[inl5[: len(gq)]])
                 ci_all.append(gc[inl5[: len(gc)]])
@@ -487,7 +527,7 @@ class PlaceRecognition:
         qall = np.concatenate(qi_all)
         call = np.concatenate(ci_all)
         if len(qall) < 17:
-            return None
+            return self._reject("pooled_pairs", n=len(qall))
         qi, nm = _pad_rows(qall.astype(np.int32), base=64)
         ci, _ = _pad_rows(call.astype(np.int32), base=64)
         match_mask = jnp.arange(len(qi)) < nm
@@ -503,7 +543,8 @@ class PlaceRecognition:
         )
         min_inl = min(cfg.nc_min_inliers, max(17, int(0.5 * nm)))
         if int(out["n_inliers"]) < min_inl:
-            return None
+            return self._reject("17pt", n_inl=int(out["n_inliers"]),
+                                need=min_inl)
 
         thr_cov = math.atan2(cfg.nc_rp_error_cov, focal)
         cov, n_used = epipolar.sampling_covariance(
@@ -512,7 +553,8 @@ class PlaceRecognition:
         )
         cov = np.asarray(cov)
         if float(np.trace(cov)) > cfg.nc_cov_thres:
-            return None
+            return self._reject("cov_trace", tr=float(np.trace(cov)),
+                                thres=cfg.nc_cov_thres)
 
         T_12 = np.asarray(out["T_a_b"])
         # yaw + translation gate (`placerec_gen_be.cpp:156-167`): the
@@ -527,19 +569,22 @@ class PlaceRecognition:
             (yaw_query - yaw_match + math.pi) % (2 * math.pi) - math.pi
         )
         if abs(rel_yaw) > cfg.max_yaw or float(np.linalg.norm(T_21[4:7])) > cfg.max_trans:
-            return None
+            return self._reject("yaw_trans", yaw=rel_yaw,
+                                trans=float(np.linalg.norm(T_21[4:7])))
         return T_12, int(out["n_inliers"]), cov
 
     # --------------------------------------------------------------- pipeline
-    def process_keyframe(self, mp: Map, kf_row: int) -> Optional[LoopResult]:
+    def process_keyframe(self, mp: Map, kf_row: int,
+                         pre: Optional[dict] = None) -> Optional[LoopResult]:
         """The Run() body (`placerec_be.cpp:508-537`): detect -> compute ->
         return a LoopResult (correction/merge applied by the MapManager),
-        and ALWAYS add the query to the database."""
+        and ALWAYS add the query to the database (already done when the
+        batched `pre` data is supplied)."""
         cfg = self.cfg
         kf_id = tuple(mp.kf_ids[kf_row])
         result = None
         if cfg.placerec_active:
-            for cand_id in self.detect_loop(mp, kf_row):
+            for cand_id in self.detect_loop(mp, kf_row, pre=pre):
                 mp_c, c_row = self.resolve(cand_id)
                 if mp_c is None:
                     continue
@@ -561,7 +606,8 @@ class PlaceRecognition:
                     T_12=T_12, n_inliers=n_inl, cov=cov, matches=matches,
                 )
                 break
-        n_feat = int(mp.kf_n_feat[kf_row])
-        if n_feat > 0:
-            self.db.add_keyframe(kf_id, mp.pr_descriptors(kf_row)[:n_feat])
+        if pre is None:
+            n_feat = int(mp.kf_n_feat[kf_row])
+            if n_feat > 0:
+                self.db.add_keyframe(kf_id, mp.pr_descriptors(kf_row)[:n_feat])
         return result

@@ -56,72 +56,111 @@ class AgentSession:
 
     def ingest(self, msg) -> Optional[str]:
         """Feed one message.  Returns 'loop'/'merge' when one was closed."""
-        if isinstance(msg, msgs.MsgKeyframe):
-            mp = self._current_map()
-            if mp.kf_row(tuple(msg.id)) >= 0:  # resumed agent replaying
-                self.stats["duplicates"] += 1
-                return None
-            out = self._finalize_pending()
-            # place recognition may have MERGED this agent's map away —
-            # re-resolve before mutating (`PerformMerge` re-points all
-            # clients of the fused map, `map_be.cpp:192-244`)
-            mp = self._current_map()
-            with self.metrics.timer("ingest_kf"):
-                mp.add_keyframe(msg)
-            self._pending_kf_id = tuple(msg.id)
-            self.stats["keyframes"] += 1
-            self.metrics.count("keyframes")
-            if self.cfg.activate_lm_culling:
-                mp.landmark_culling(min_obs=2, max_gap=5)
-            return out
-        if isinstance(msg, msgs.MsgLandmark):
-            mp = self._current_map()
-            if mp.lm_row(tuple(msg.id)) >= 0:
-                # re-sent landmark: merge new observations + refresh pos
-                # (`communicator_be.cpp:172-176`)
-                self.stats["duplicates"] += 1
-                mp.add_landmark(msg)
-                return None
-            mp.add_landmark(msg)
-            self.stats["landmarks"] += 1
-            return None
-        if isinstance(msg, msgs.MsgKeyframeUpdate):
-            if self.cfg.send_updates:
-                self._current_map().update_keyframe_pose(msg)
-            return None
-        if isinstance(msg, msgs.MsgLandmarkUpdate):
-            # gated on `comm.send_updates` (`communicator_be.cpp:157-163`)
-            if self.cfg.send_updates:
-                self._current_map().update_landmark_pos(msg)
-            return None
-        raise TypeError(f"unknown message type {type(msg)}")
+        out = self.ingest_many([msg])
+        return out[0] if out else None
 
-    def _finalize_pending(self) -> Optional[str]:
-        """Run place recognition for the keyframe whose landmark batch is
-        now complete."""
+    def ingest_many(self, messages) -> list:
+        """Feed a WINDOW of messages (the TPU-native analog of the
+        reference placerec thread draining its queue, `placerec_be.cpp:
+        508-537` + `CheckBufferExt`): host bookkeeping runs in stream
+        order, then the keyframes whose landmark batches completed are
+        finalized together — one batched device dispatch for the BoW
+        insert+query of the whole window (`KeyframeDatabase.
+        add_and_query_batch`) instead of per-keyframe round-trips.
+
+        Returns the list of non-None loop/merge outcomes."""
+        finalized: list[tuple] = []
+        for msg in messages:
+            if isinstance(msg, msgs.MsgKeyframe):
+                mp = self._current_map()
+                if mp.kf_row(tuple(msg.id)) >= 0:  # resumed agent replaying
+                    self.stats["duplicates"] += 1
+                    continue
+                if self._pending_kf_id is not None:
+                    finalized.append(self._pending_kf_id)
+                with self.metrics.timer("ingest_kf"):
+                    mp.add_keyframe(msg)
+                self._pending_kf_id = tuple(msg.id)
+                self.stats["keyframes"] += 1
+                self.metrics.count("keyframes")
+                if self.cfg.activate_lm_culling:
+                    mp.landmark_culling(min_obs=2, max_gap=5)
+            elif isinstance(msg, msgs.MsgLandmark):
+                mp = self._current_map()
+                if mp.lm_row(tuple(msg.id)) >= 0:
+                    # re-sent landmark: merge new observations + refresh pos
+                    # (`communicator_be.cpp:172-176`)
+                    self.stats["duplicates"] += 1
+                    mp.add_landmark(msg)
+                    continue
+                mp.add_landmark(msg)
+                self.stats["landmarks"] += 1
+            elif isinstance(msg, msgs.MsgKeyframeUpdate):
+                if self.cfg.send_updates:
+                    self._current_map().update_keyframe_pose(msg)
+            elif isinstance(msg, msgs.MsgLandmarkUpdate):
+                # gated on `comm.send_updates` (`communicator_be.cpp:157-163`)
+                if self.cfg.send_updates:
+                    self._current_map().update_landmark_pos(msg)
+            else:
+                raise TypeError(f"unknown message type {type(msg)}")
+        return self._finalize_many(finalized)
+
+    def _finalize_many(self, kf_ids: list) -> list:
+        """Place recognition for keyframes whose landmark batches are now
+        complete (`ProcessNewKeyframes`, `communicator_be.cpp:181-205`)."""
+        if not kf_ids:
+            return []
+        mp = self._current_map()
+        rows = [mp.kf_row(k) for k in kf_ids]
+        live = [(k, r) for k, r in zip(kf_ids, rows) if r >= 0]
+        if not live:
+            return []
+
+        # 1. one batched landmark-attribute refresh for the union cohort
+        o = mp.n_obs
+        row_arr = np.asarray([r for _, r in live], np.int64)
+        sel = np.isin(mp.obs_kf[:o], row_arr) & mp.obs_mask[:o]
+        mp.update_landmark_attributes(np.unique(mp.obs_lm[:o][sel]))
+
+        # 2. one batched BoW insert+query for the window
+        with_feats = [(k, r) for k, r in live if int(mp.kf_n_feat[r]) > 0]
+        pre_of: dict = {}
+        if with_feats:
+            pres = self.placerec.db.add_and_query_batch(
+                [k for k, _ in with_feats],
+                [mp.pr_descriptors(r)[: int(mp.kf_n_feat[r])]
+                 for _, r in with_feats],
+            )
+            pre_of = {k: p for (k, _), p in zip(with_feats, pres)}
+
+        # 3. per-keyframe detection/verification on the precomputed scores
+        outcomes = []
+        for kf_id, _ in live:
+            mp = self._current_map()  # may have merged mid-window
+            row = mp.kf_row(kf_id)
+            if row < 0:
+                continue
+            with self.metrics.timer("placerec"):
+                loop = self.placerec.process_keyframe(
+                    mp, row, pre=pre_of.get(kf_id)
+                )
+            if loop is None:
+                continue
+            outcome = self.manager.handle_loop(loop)
+            if outcome == "loop":
+                self.stats["loops"] += 1
+            elif outcome == "merge":
+                self.stats["merges"] += 1
+            if outcome in ("loop", "merge"):
+                outcomes.append(outcome)
+        return outcomes
+
+    def flush(self) -> Optional[str]:
+        """Process the final buffered keyframe (agent finished)."""
         if self._pending_kf_id is None:
             return None
         kf_id = self._pending_kf_id
         self._pending_kf_id = None
-        mp = self._current_map()
-        row = mp.kf_row(kf_id)
-        if row < 0:
-            return None
-        # refresh landmark attributes for this KF's cohort (ProcessNewKeyframes)
-        o = mp.n_obs
-        sel = (mp.obs_kf[:o] == row) & mp.obs_mask[:o]
-        mp.update_landmark_attributes(np.unique(mp.obs_lm[:o][sel]))
-        with self.metrics.timer("placerec"):
-            loop = self.placerec.process_keyframe(mp, row)
-        if loop is None:
-            return None
-        outcome = self.manager.handle_loop(loop)
-        if outcome == "loop":
-            self.stats["loops"] += 1
-        elif outcome == "merge":
-            self.stats["merges"] += 1
-        return outcome
-
-    def flush(self) -> Optional[str]:
-        """Process the final buffered keyframe (agent finished)."""
-        return self._finalize_pending()
+        out = self._finalize_many([kf_id])
+        return out[0] if out else None

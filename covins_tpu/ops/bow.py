@@ -58,7 +58,7 @@ def train_vocabulary(descs_u8, k=1024, iters=8, seed=0):
 def assign_words(descs_u8, vocab_u8, mask=None):
     """(N, BYTES) descriptors -> (N,) word ids (argmin Hamming to vocab).
     Masked descriptors get word id -1."""
-    d = desc.hamming_distance(descs_u8, vocab_u8)
+    d = desc.hamming_distance_best(descs_u8, vocab_u8)
     w = jnp.argmin(d, axis=1).astype(jnp.int32)
     if mask is not None:
         w = jnp.where(mask, w, -1)

@@ -55,6 +55,29 @@ def hamming_distance(a_u8, b_u8, dtype=jnp.float32):
     return ((nbits - dot) * 0.5).astype(jnp.int32)
 
 
+def hamming_distance_best(a_u8, b_u8, dtype=jnp.bfloat16):
+    """Backend-dispatching Hamming distance for the PRODUCT hot paths
+    (vocabulary assignment, retrieval-database scoring, dense matching).
+
+    On TPU with MXU-sized operands this uses the Pallas packed-descriptor
+    kernel (`ops/hamming_pallas.py`): descriptors stay packed in HBM (32 B
+    instead of 256/512 B unpacked) and are expanded to ±1 tiles in VMEM,
+    saving 8x HBM traffic on the large operand.  Everywhere else (CPU
+    tests, small blocks) it falls back to the unpack-±1 matmul, which XLA
+    fuses well at small sizes.
+    """
+    m, n = a_u8.shape[0], b_u8.shape[0]
+    if (
+        jax.default_backend() == "tpu"
+        and a_u8.dtype == jnp.uint8
+        and m * n >= 256 * 512
+    ):
+        from covins_tpu.ops import hamming_pallas as hp
+
+        return hp.hamming_distance_auto(a_u8, b_u8)
+    return hamming_distance(a_u8, b_u8, dtype=dtype)
+
+
 def hamming_distance_xor(a_u8, b_u8):
     """Reference implementation: XOR + popcount over uint32 words."""
     a32 = jax.lax.bitcast_convert_type(

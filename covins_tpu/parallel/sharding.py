@@ -152,3 +152,45 @@ def multihost_initialize(coordinator: str, num_processes: int, process_id: int):
         num_processes=num_processes,
         process_id=process_id,
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-host (multi-process) array placement: `jax.device_put` only reaches
+# addressable devices, so global arrays are assembled from per-process
+# shards via `make_array_from_callback` (every process holds the same full
+# host array — deterministic construction — and contributes its shards).
+# ---------------------------------------------------------------------------
+
+
+def shard_rows_global(mesh: Mesh, x, axis: str = "data"):
+    """Row-shard `x` over a (possibly multi-process) mesh."""
+    x = np.asarray(x)
+    spec = P(axis, *([None] * (x.ndim - 1)))
+    return jax.make_array_from_callback(
+        x.shape, NamedSharding(mesh, spec), lambda idx: x[idx]
+    )
+
+
+def replicate_global(mesh: Mesh, x):
+    x = np.asarray(x)
+    return jax.make_array_from_callback(
+        x.shape, NamedSharding(mesh, P()), lambda idx: x[idx]
+    )
+
+
+def shard_gba_problem_global(mesh: Mesh, p, axis: str = "data"):
+    """`shard_gba_problem` for multi-process meshes (same layout)."""
+    def rows(x):
+        return shard_rows_global(mesh, x, axis)
+
+    def repl(x):
+        return replicate_global(mesh, x)
+
+    return dataclasses.replace(
+        p,
+        obs_kf=rows(p.obs_kf), obs_lm=rows(p.obs_lm), obs_uv=rows(p.obs_uv),
+        obs_w=rows(p.obs_w), obs_mask=rows(p.obs_mask),
+        lms=rows(p.lms), lm_mask=rows(p.lm_mask),
+        poses=repl(p.poses), vels=repl(p.vels), biases=repl(p.biases),
+        kf_mask=repl(p.kf_mask), kf_fixed=repl(p.kf_fixed),
+    )

@@ -120,6 +120,75 @@ def test_agent_reconnect_resume(server):
     c2.finish()
 
 
+def test_update_planes_end_to_end(tmp_path):
+    """Both update planes over real TCP:
+
+    * agent->server: the synthetic agent re-sends its last
+      `update_window_size` keyframes as `MsgKeyframeUpdate` + landmark
+      position updates (`orb_slam3/src/comm/communicator.cpp:54-81`);
+      the server consumes them under `comm.send_updates`.
+    * server->agent: with `comm.data_to_client`, the server pushes the
+      newest keyframe's pose back at `to_agent_freq`
+      (`communicator_be.cpp:51-69`); the agent observes it via
+      `poll_updates()` without desynchronizing the stream.
+    """
+    world = SyntheticWorld.create(n_landmarks=300, seed=1)
+    vocab = np.asarray(
+        bow_ops.train_vocabulary(jnp.asarray(world.lm_descs), k=64, iters=3)
+    )
+    cfg = Config(
+        placerec_active=False, perform_pgo=False, activate_lm_culling=False,
+        send_updates=True, data_to_client=True, to_agent_freq=20.0,
+    )
+    port = _free_port()
+    srv = CovinsServer(vocab, cfg, host="127.0.0.1", port=port,
+                       output_dir=str(tmp_path))
+    srv.start_background()
+    try:
+        client = AgentClient("127.0.0.1", port)
+        agent = SyntheticAgent(world, client_id=client.client_id,
+                               n_keyframes=8, send_updates=True,
+                               update_window_size=3)
+        n_kf_updates = n_lm_updates = 0
+        for m in agent.messages():
+            if isinstance(m, msgs.MsgKeyframeUpdate):
+                n_kf_updates += 1
+            if isinstance(m, msgs.MsgLandmarkUpdate):
+                n_lm_updates += 1
+            client.send(m)
+            client.poll_updates()  # interleave with the server push plane
+        assert n_kf_updates > 0 and n_lm_updates > 0  # agent plane active
+        # wait for ingest to drain, then for a pushed pose covering KF>=5
+        deadline = time.time() + 60
+        got_push = False
+        while time.time() < deadline:
+            stats = client.admin("stats")
+            done = stats["result"]["maps"].get("0", {}).get("n_kf") == 8
+            for u in client.poll_updates(timeout=0.1):
+                if isinstance(u, msgs.MsgKeyframeUpdate) and u.id[0] >= 5:
+                    got_push = True
+            if done and got_push:
+                break
+            time.sleep(0.1)
+        assert got_push, "no server->agent keyframe-update push observed"
+        # the pushed pose matches the server's map state for that keyframe
+        u = [m for m in client.updates
+             if isinstance(m, msgs.MsgKeyframeUpdate)][-1]
+        mp = srv.manager.map_of(client.client_id)
+        from covins_tpu.utils import npgeo
+        kf0 = mp.kf_row((0, client.client_id))
+        row = mp.kf_row(tuple(u.id))
+        expect = npgeo.pose_relative(mp.kf_pose[kf0], mp.kf_pose[row])
+        np.testing.assert_allclose(np.asarray(u.T_sref_s), expect, atol=1e-9)
+        # server consumed agent-plane updates without desync: session alive
+        # and duplicate-free keyframe count
+        sess_stats = stats["result"]["sessions"][str(client.client_id)]
+        assert sess_stats["keyframes"] == 8
+        client.finish()
+    finally:
+        srv.stop()
+
+
 def test_server_end_to_end(server):
     srv, port, world, out_dir = server
     client = AgentClient("127.0.0.1", port)

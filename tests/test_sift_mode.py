@@ -23,17 +23,23 @@ def test_l2_vocabulary_and_retrieval():
 
 
 def test_sift_covins_g_loop():
-    world = SyntheticWorld.create(n_landmarks=400, desc_bytes=128, seed=4,
+    world = SyntheticWorld.create(n_landmarks=600, desc_bytes=128, seed=4,
                                   feat_type="SIFT")
     vocab = np.asarray(bow_ops.train_vocabulary_l2(
         jnp.asarray(world.lm_descs), k=128, iters=4))
+    # thresholds scaled to the synthetic SIFT world: fewer features per
+    # keyframe than a real extractor, and the circle trajectory revisits
+    # at a few meters offset, so the per-pair gates
+    # (`RelNonCentralPosSolver.cpp:119,368`) and the translation gate
+    # (`placerec_gen_be.cpp:156-167`) use proportionally smaller values
     cfg = Config(
         feat_type="SIFT", desc_length=128,
         placerec_type="COVINS_G",
         img_match_thres=500.0,  # the reference's SIFT threshold
         start_after_kf=2, consecutive_loop_dist=6, min_loop_dist=6,
         exclude_kfs_with_id_less_than=2, cov_consistency_thres=2,
-        nc_min_inliers=30, nc_cov_thres=100.0, rel_min_img_matches=17,
+        nc_min_inliers=30, nc_cov_thres=100.0,
+        rel_min_img_matches=10, rel_min_inliers=10, max_trans=8.0,
         perform_pgo=False, activate_lm_culling=False,
     )
     mgr = MapManager(vocab, cfg)
