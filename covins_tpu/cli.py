@@ -88,6 +88,9 @@ def cmd_admin(args):
         kw["max_num_kfs"] = args.max_num_kfs
     if args.visual_only:
         kw["visual_only"] = True
+    if args.placerec_replay:
+        kw["placerec_replay"] = True
+        kw["run_pgo"] = not args.no_pgo
     reply = client.admin(args.verb, **kw)
     client.finish()
     print(json.dumps(reply, indent=2))
@@ -162,6 +165,10 @@ def main(argv=None):
     d.add_argument("--path")
     d.add_argument("--max-num-kfs", type=int, default=None)
     d.add_argument("--visual-only", action="store_true")
+    d.add_argument("--placerec-replay", action="store_true",
+                   help="loadmap: replay keyframes through place "
+                        "recognition (backend.cpp:247-283)")
+    d.add_argument("--no-pgo", action="store_true")
     d.set_defaults(fn=cmd_admin)
 
     e = sub.add_parser("ate", help="ATE RMSE of a TUM trajectory vs ground truth")

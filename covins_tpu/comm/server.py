@@ -47,7 +47,7 @@ class CovinsServer:
         self.host = host
         self.port = port
         self.output_dir = output_dir
-        self.manager = MapManager(vocabulary, self.cfg)
+        self.manager = MapManager(vocabulary, self.cfg, output_dir=output_dir)
         self.sessions: Dict[int, AgentSession] = {}
         self._next_client_id = 0
         self._work: "queue.Queue[tuple]" = queue.Queue()
@@ -177,7 +177,14 @@ class CovinsServer:
                 return {"ok": False, "error": "agents already registered"}
             mp = Map.load(cmd["path"])
             self.manager.register_map(mp)
-            return {"ok": True, "map_id": mp.id, "n_kf": int(mp.kf_mask.sum())}
+            out = {"ok": True, "map_id": mp.id, "n_kf": int(mp.kf_mask.sum())}
+            if cmd.get("placerec_replay"):
+                # optional placerec replay over the loaded keyframes +
+                # PGO (`backend.cpp:247-283` / action semantics :214-237)
+                out["replay"] = self.manager.replay_placerec(
+                    mp, perform_pgo=bool(cmd.get("run_pgo", True))
+                )
+            return out
         if verb == "prunemap":
             map_id = int(cmd.get("map_id", 0))
             mp = self.manager.maps[map_id]

@@ -25,7 +25,8 @@ from covins_tpu.utils.config import Config
 
 
 class MapManager:
-    def __init__(self, vocabulary: np.ndarray, config: Optional[Config] = None):
+    def __init__(self, vocabulary: np.ndarray, config: Optional[Config] = None,
+                 output_dir: Optional[str] = None):
         self.cfg = config or Config()
         self.database = KeyframeDatabase(vocabulary)
         self.maps: Dict[int, Map] = {}
@@ -34,6 +35,14 @@ class MapManager:
         self.n_merges = 0
         self.n_loops = 0
         self.n_fused = 0  # landmarks deduplicated by loop fusion
+        # when set, maps write trajectories every 50 KFs (`map_be.cpp:391-395`)
+        self.output_dir = output_dir
+
+    def _attach(self, mp: Map):
+        mp.database = self.database
+        if self.output_dir:
+            mp.traj_dir = self.output_dir
+            mp.traj_fmt = self.cfg.trajectory_format
 
     # ------------------------------------------------------------- registry
     def init_map(self, client_id: int) -> Map:
@@ -43,7 +52,7 @@ class MapManager:
             desc_bytes=self.cfg.desc_length,
             desc_dtype=(np.float32 if self.cfg.feat_type == "SIFT" else np.uint8),
         )
-        mp.database = self.database
+        self._attach(mp)
         self.maps[mp.id] = mp
         self.map_of_client[client_id] = mp.id
         self._next_map_id += 1
@@ -52,7 +61,7 @@ class MapManager:
     def register_map(self, mp: Map):
         """`MapManager::RegisterMap` — attach a loaded map."""
         mp.id = self._next_map_id
-        mp.database = self.database
+        self._attach(mp)
         self._next_map_id += 1
         self.maps[mp.id] = mp
         for cid in mp.associated_clients:
@@ -200,6 +209,38 @@ class MapManager:
         self.n_loops += 1
         if self.cfg.perform_pgo:
             self.run_pgo(mp_c)
+
+    def replay_placerec(self, mp: Map, perform_pgo: bool = True) -> dict:
+        """Replay a LOADED map's keyframes through place recognition
+        (`CallbackLoadMap` optional placerec pass, `backend.cpp:247-283`):
+        keyframes sorted by stamp (newest first, as the reference does),
+        each queried against the full database — loops found against
+        previously loaded maps trigger merges, intra-map loops add
+        constraints; optionally finish with PGO."""
+        from covins_tpu.models.placerec import PlaceRecognition
+
+        client = min(mp.associated_clients) if mp.associated_clients else -1
+        pr = PlaceRecognition(client, self.database, self.resolve, self.cfg)
+        rows = mp.live_kf_rows()
+        rows = rows[np.argsort(-mp.kf_stamp[rows])]
+        kf_ids = [tuple(mp.kf_ids[r]) for r in rows]
+        n_loops0, n_merges0 = self.n_loops, self.n_merges
+        # the replay's PGO choice comes from the service action code, not
+        # the config (`backend.cpp:214-237` action semantics)
+        pgo_flag = self.cfg.perform_pgo
+        self.cfg.perform_pgo = perform_pgo
+        try:
+            for kid in kf_ids:
+                cur, row = self.resolve(kid)
+                if cur is None:
+                    continue
+                loop = pr.process_keyframe(cur, row)
+                if loop is not None:
+                    self.handle_loop(loop)
+        finally:
+            self.cfg.perform_pgo = pgo_flag
+        return {"loops": self.n_loops - n_loops0,
+                "merges": self.n_merges - n_merges0}
 
     # ----------------------------------------------------------------- PGO
     def run_pgo(self, mp: Map, poses_init: Optional[np.ndarray] = None):

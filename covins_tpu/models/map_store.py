@@ -134,6 +134,13 @@ class Map:
         # --- loop constraints -------------------------------------------------
         self.loops: list[dict] = []  # {kf1, kf2, T_12, cov}
 
+        # periodic trajectory write-out: every `traj_interval` keyframes
+        # the map rewrites its trajectory CSVs (`Map::AddKeyframe`,
+        # `map_be.cpp:391-395`); enabled when the server sets `traj_dir`
+        self.traj_dir: Optional[str] = None
+        self.traj_fmt: str = "TUM"
+        self.traj_interval: int = 50
+
         # id lookup
         self._kf_index: Dict[IdPair, int] = {}
         self._lm_index: Dict[IdPair, int] = {}
@@ -290,6 +297,13 @@ class Map:
         self.kf_mask[row] = True
         self.n_kf = row + 1
         self._kf_index[key] = row
+
+        # periodic trajectory write + count print every `traj_interval`
+        # keyframes (`map_be.cpp:391-395`)
+        if self.traj_dir and len(self._kf_index) % self.traj_interval == 0:
+            print(f"Map {self.id} : {len(self._kf_index)} KFs | "
+                  f"{len(self._lm_index)} LMs", flush=True)
+            self.write_trajectories(self.traj_dir, fmt=self.traj_fmt)
 
         # landmark observations carried on the KF message
         if msg.landmark_ids is not None:
@@ -693,6 +707,34 @@ class Map:
             np.stack([l["T_12"] for l in self.loops])
             if self.loops else np.zeros((0, 7))
         )
+        # COVINS-G loop covariances; NaN block = no covariance recorded
+        arrays["loop_cov"] = (
+            np.stack([np.full((6, 6), np.nan) if l.get("cov") is None
+                      else np.asarray(l["cov"]) for l in self.loops])
+            if self.loops else np.zeros((0, 6, 6))
+        )
+        # per-client calibration (the reference serializes VICalibration
+        # with every keyframe, `msg_keyframe.hpp:128-202`; one per client
+        # suffices for the columnar checkpoint)
+        cids = sorted(self.calib)
+        arrays["calib_client"] = np.asarray(cids, np.int64)
+        arrays["calib_T_s_c"] = np.stack(
+            [np.asarray(self.calib[c].T_s_c, np.float64) for c in cids]
+        ) if cids else np.zeros((0, 7))
+        arrays["calib_intrinsics"] = np.stack(
+            [np.asarray(self.calib[c].intrinsics, np.float64) for c in cids]
+        ) if cids else np.zeros((0, 5))
+        arrays["calib_dist"] = np.stack(
+            [np.asarray(self.calib[c].dist, np.float64) for c in cids]
+        ) if cids else np.zeros((0, 4))
+        arrays["calib_scalars"] = np.asarray(
+            [[self.calib[c].cam_model, self.calib[c].dist_model,
+              self.calib[c].img_w, self.calib[c].img_h,
+              self.calib[c].acc_noise, self.calib[c].gyro_noise,
+              self.calib[c].acc_walk, self.calib[c].gyro_walk,
+              self.calib[c].imu_rate, self.calib[c].gravity_mag]
+             for c in cids], np.float64,
+        ) if cids else np.zeros((0, 10))
         arrays["map_id"] = np.asarray(self.id)
         np.savez_compressed(path, **arrays)
 
@@ -721,8 +763,11 @@ class Map:
                 (cap, fa, z["descriptors_add"].shape[2]),
                 z["descriptors_add"].dtype,
             )
+        skip = ("loop_kf1", "loop_kf2", "loop_T", "loop_cov", "map_id",
+                "calib_client", "calib_T_s_c", "calib_intrinsics",
+                "calib_dist", "calib_scalars")
         for name in z.files:
-            if name in ("loop_kf1", "loop_kf2", "loop_T", "map_id"):
+            if name in skip:
                 continue
             getattr(mp, name)[: z[name].shape[0]] = z[name]
         for i in range(n_kf):
@@ -732,9 +777,27 @@ class Map:
         for i in range(n_lm):
             if mp.lm_mask[i]:
                 mp._lm_index[tuple(mp.lm_ids[i])] = i
-        for k1, k2, T in zip(z["loop_kf1"], z["loop_kf2"], z["loop_T"]):
-            mp.loops.append({"kf1": int(k1), "kf2": int(k2),
-                             "T_12": np.asarray(T), "cov": None})
+        covs = (z["loop_cov"] if "loop_cov" in z.files
+                else np.full((len(z["loop_kf1"]), 6, 6), np.nan))
+        for k1, k2, T, C in zip(z["loop_kf1"], z["loop_kf2"], z["loop_T"],
+                                covs):
+            mp.loops.append({
+                "kf1": int(k1), "kf2": int(k2), "T_12": np.asarray(T),
+                "cov": None if np.isnan(C).any() else np.asarray(C),
+            })
+        if "calib_client" in z.files:
+            for i, cid in enumerate(z["calib_client"]):
+                s = z["calib_scalars"][i]
+                mp.calib[int(cid)] = msgs.VICalibration(
+                    T_s_c=z["calib_T_s_c"][i],
+                    cam_model=int(s[0]), dist_model=int(s[1]),
+                    intrinsics=z["calib_intrinsics"][i],
+                    dist=z["calib_dist"][i],
+                    img_w=int(s[2]), img_h=int(s[3]),
+                    acc_noise=float(s[4]), gyro_noise=float(s[5]),
+                    acc_walk=float(s[6]), gyro_walk=float(s[7]),
+                    imu_rate=float(s[8]), gravity_mag=float(s[9]),
+                )
         return mp
 
     # ------------------------------------------------------------- snapshots
@@ -769,21 +832,15 @@ class Map:
         from covins_tpu.ops import residuals as res_mod
 
         n = self.n_kf
-        ei, ej, eT, eS, eloop = [], [], [], [], []
-
-        def odo_edge(r, s, mult):
-            T_ij = np.asarray(
-                geo.pose_relative(self.kf_pose_vio[r], self.kf_pose_vio[s])
-            )
-            ei.append(int(r)); ej.append(int(s)); eT.append(T_ij)
-            eS.append(np.diag([wt_kf_R * mult] * 3 + [wt_kf_T * mult] * 3))
-            eloop.append(False)
-
+        # collect odometry-edge (i, j, weight-multiplier) triplets host-side
+        # (cheap index walk), then batch ALL relative poses in one shot —
+        # the per-edge eager pose math dominated PGO wall-clock before
+        odo_i, odo_j, odo_mult = [], [], []
         for r in range(n):
             s = self.kf_succ[r]
             if s < 0 or not (self.kf_mask[r] and self.kf_mask[s]):
                 continue
-            odo_edge(r, s, wt_kf_n1)
+            odo_i.append(r); odo_j.append(int(s)); odo_mult.append(wt_kf_n1)
             if use_nbr_kfs:
                 # walk further successors: neighbors 2,3 and 4,5 with
                 # decaying weights (the reference divides n1 by n23/n45)
@@ -793,7 +850,24 @@ class Map:
                     if t < 0 or not self.kf_mask[t]:
                         break
                     div = wt_kf_n23 if hop <= 3 else wt_kf_n45
-                    odo_edge(r, t, wt_kf_n1 / max(div, 1e-6))
+                    odo_i.append(r); odo_j.append(int(t))
+                    odo_mult.append(wt_kf_n1 / max(div, 1e-6))
+        ei = list(odo_i)
+        ej = list(odo_j)
+        eloop = [False] * len(odo_i)
+        if odo_i:
+            oi = np.asarray(odo_i)
+            oj = np.asarray(odo_j)
+            eT = list(npgeo.pose_relative(self.kf_pose_vio[oi],
+                                          self.kf_pose_vio[oj]))
+            mult = np.asarray(odo_mult)
+            diag = np.concatenate([
+                np.repeat((wt_kf_R * mult)[:, None], 3, 1),
+                np.repeat((wt_kf_T * mult)[:, None], 3, 1),
+            ], axis=1)  # (E, 6)
+            eS = list(np.einsum("ei,ij->eij", diag, np.eye(6)))
+        else:
+            eT, eS = [], []
         for lc in self.loops:
             ei.append(lc["kf1"]); ej.append(lc["kf2"]); eT.append(lc["T_12"])
             if lc.get("cov") is not None:
@@ -861,29 +935,31 @@ class Map:
         poses_new = np.asarray(poses_new)
         n = self.n_kf
         old = self.kf_pose[:n].copy()
-        corr = np.asarray(
-            geo.pose_compose(poses_new[:n], geo.pose_inverse(old))
-        )  # (n, 7) world-frame left delta per KF
+        corr = npgeo.pose_compose(poses_new[:n], npgeo.pose_inverse(old))
         live = self.kf_mask[:n]
         self.kf_pose[:n][live] = poses_new[:n][live]
         self.kf_pose_optimized[:n][live] = True
         # velocities rotate by the correction rotation
-        import jax.numpy as jnp
-        Rc = np.asarray(geo.quat_to_matrix(jnp.asarray(corr[:, :4])))
+        Rc = npgeo.quat_to_matrix(corr[:, :4])
         self.kf_vel[:n][live] = np.einsum(
             "nij,nj->ni", Rc[live], self.kf_vel[:n][live]
         )
-        # landmarks move with their reference KF
-        for lrow in np.where(self.lm_mask[: self.n_lm])[0]:
-            ref = self.lm_ref[lrow]
-            if ref < 0 or not live[ref]:
-                continue
-            p_ref = np.asarray(
-                geo.pose_apply(geo.pose_inverse(old[ref]), self.lm_pos[lrow])
-            )
-            self.lm_pos[lrow] = np.asarray(
-                geo.pose_apply(self.kf_pose[ref], p_ref)
-            )
+        # landmarks move with their reference KF — one batched re-anchor
+        # over all live landmarks (was a per-landmark eager loop: the
+        # dominant cost of every PGO at scale)
+        lrows = np.where(self.lm_mask[: self.n_lm])[0]
+        if len(lrows):
+            refs = self.lm_ref[lrows]
+            ok = (refs >= 0) & (refs < n)
+            ok[ok] &= live[refs[ok]]
+            lrows, refs = lrows[ok], refs[ok]
+            if len(lrows):
+                p_ref = npgeo.pose_apply(
+                    npgeo.pose_inverse(old[refs]), self.lm_pos[lrows]
+                )
+                self.lm_pos[lrows] = npgeo.pose_apply(
+                    self.kf_pose[refs], p_ref
+                )
 
     def to_gba_problem(self, octave_base_sigma: float = 2.0):
         """Build a `covins_tpu.ops.gba.GBAProblem` snapshot: per-KF states,

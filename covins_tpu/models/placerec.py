@@ -77,6 +77,24 @@ def _pad_rows(a: np.ndarray, base: int = 128):
     return out, n
 
 
+def _temporal_neighbors(mp: Map, row: int, k: int = 10) -> np.ndarray:
+    """Temporal pred/succ chain neighbors (COVINS-G's connectivity,
+    `KeyframeBase::GetConnectedNeighborKeyframes` /
+    `EstablishNeighbors`, `keyframe_be.cpp:385-410`)."""
+    rows = []
+    r = int(mp.kf_pred[row])
+    while r >= 0 and len(rows) < k:
+        if mp.kf_mask[r]:
+            rows.append(r)
+        r = int(mp.kf_pred[r])
+    r = int(mp.kf_succ[row])
+    while r >= 0 and len(rows) < k:
+        if mp.kf_mask[r]:
+            rows.append(r)
+        r = int(mp.kf_succ[r])
+    return np.asarray(rows, np.int64)
+
+
 def _covis_of(mp: Map, row: int) -> np.ndarray:
     """Covisibility weights (delegates to the map's capacity-shaped
     batched reduction, stable jit signatures across the stream)."""
@@ -201,13 +219,22 @@ class PlaceRecognition:
         if len(cand_rows) == 0:
             self._consistent_groups = []
             return []
-        cand_rows = cand_rows[np.argsort(-scores[cand_rows])][: cfg.retrieval_topk]
 
-        # consistency groups over candidate covisibility neighborhoods
-        # (`placerec_be.cpp:408-453`); groups are sets of keyframe IDs so
-        # they survive map merges
-        cands: list[tuple] = []
-        new_groups: list[tuple[set, int]] = []
+        # covisibility-group score ACCUMULATION (`kf_database.cpp:131-183`):
+        # each scoring candidate accumulates the scores of its top-10
+        # covisible keyframes (temporal neighbors in COVINS-G) that also
+        # scored for this query; groups with accScore > 0.75 * best
+        # accumulated score survive, represented by their best-scoring
+        # member.
+        def group_rows(cmp_, crow):
+            if cfg.placerec_type == "COVINS_G":
+                return _temporal_neighbors(cmp_, crow, k=10)
+            gw = _covis_of(cmp_, crow)
+            nz = np.where(gw > 0)[0]
+            return nz[np.argsort(-gw[nz])][:10]
+
+        acc_list = []  # (acc_score, best_db_row, group id set)
+        best_acc = frac * min_score
         for db_row in cand_rows:
             kid = self.db.row_ids[db_row]
             cmp_, crow = self.resolve(kid)
@@ -215,8 +242,42 @@ class PlaceRecognition:
                 continue
             if cfg.inter_map_matches_only and cmp_ is mp:
                 continue
-            gw = _covis_of(cmp_, crow)
-            group = {tuple(cmp_.kf_ids[r]) for r in np.where(gw > 0)[0]} | {kid}
+            members = group_rows(cmp_, crow)
+            group = {tuple(cmp_.kf_ids[r]) for r in members} | {kid}
+            acc_score = float(scores[db_row])
+            best_row = db_row
+            best_score = acc_score
+            for r in members:
+                dbr = self.db.row_of.get(tuple(int(x) for x in cmp_.kf_ids[r]), -1)
+                if 0 <= dbr < len(scores) and scores[dbr] > 0:
+                    acc_score += float(scores[dbr])
+                    if scores[dbr] > best_score:
+                        best_score = float(scores[dbr])
+                        best_row = dbr
+            acc_list.append((acc_score, best_row, group))
+            best_acc = max(best_acc, acc_score)
+        retain = 0.75 * best_acc
+        acc_list = [a for a in acc_list if a[0] > retain or len(acc_list) == 1]
+        acc_list.sort(key=lambda a: -a[0])
+        seen_rows: set = set()
+        winners = []
+        for acc_score, best_row, group in acc_list[: cfg.retrieval_topk]:
+            if best_row in seen_rows:
+                continue
+            seen_rows.add(best_row)
+            winners.append((best_row, group))
+
+        # consistency groups over candidate covisibility neighborhoods
+        # (`placerec_be.cpp:408-453`); groups are sets of keyframe IDs so
+        # they survive map merges
+        cands: list[tuple] = []
+        new_groups: list[tuple[set, int]] = []
+        for db_row, group in winners:
+            kid = self.db.row_ids[db_row]
+            cmp_, crow = self.resolve(kid)
+            if cmp_ is None:
+                continue
+            group = group | {kid}
             best_count = 0
             for prev_group, count in self._consistent_groups:
                 if group & prev_group:

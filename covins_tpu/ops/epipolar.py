@@ -27,6 +27,8 @@ which is linear in the 18 unknowns (E = [t]x R, R).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -123,6 +125,7 @@ def decompose_essential(E):
     return jnp.stack(poses)
 
 
+@functools.partial(jax.jit, static_argnames=('n_hypotheses',))
 def relative_pose_ransac_central(
     key, fa, fb, mask, n_hypotheses: int = 128, threshold_rad: float = 0.004
 ):
@@ -203,6 +206,7 @@ def gep_17pt(va, fa, vb, fb, weights=None):
     return geo.pose_from_qt(geo.matrix_to_quat(R), t)
 
 
+@functools.partial(jax.jit, static_argnames=('n_hypotheses', 'refine_top'))
 def relative_pose_ransac_noncentral(
     key,
     va, fa, vb, fb,
@@ -242,6 +246,7 @@ def relative_pose_ransac_noncentral(
     return {"T_a_b": T_best, "inliers": inl_best, "n_inliers": inl_best.sum()}
 
 
+@functools.partial(jax.jit, static_argnames=('n_samples', 'sample_size'))
 def sampling_covariance(
     key,
     T_best,

@@ -18,6 +18,8 @@ px via focal length; we expose the same `threshold_px / focal` conversion).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -117,6 +119,7 @@ def px_threshold_to_angular(threshold_px, focal):
     return jnp.arctan2(threshold_px, focal)
 
 
+@functools.partial(jax.jit, static_argnames=('n_hypotheses',))
 def absolute_pose_ransac(
     key,
     points_w,

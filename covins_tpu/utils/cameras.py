@@ -112,6 +112,7 @@ def distort(dist_model: int, dist, xy):
     raise ValueError(f"unknown distortion model {dist_model}")
 
 
+@partial(jax.jit, static_argnames=("dist_model", "iters"))
 def undistort(dist_model: int, dist, xy_d, iters: int = 20):
     """Invert ``distort`` by fixed-iteration Gauss-Newton (jit-friendly)."""
     if dist_model == DIST_NONE:
@@ -134,6 +135,7 @@ def undistort(dist_model: int, dist, xy_d, iters: int = 20):
 # ---------------------------------------------------------------------------
 
 
+@jax.jit
 def project3(cam: Camera, p_c):
     """Project points ``p_c`` (..., 3) in the CAMERA frame to pixels.
 
@@ -161,6 +163,7 @@ def project3(cam: Camera, p_c):
     return uv, valid
 
 
+@jax.jit
 def back_project3(cam: Camera, uv):
     """Pixel (..., 2) -> unit bearing vector (..., 3) in the camera frame.
 
@@ -183,6 +186,7 @@ def back_project3(cam: Camera, uv):
     return b / jnp.linalg.norm(b, axis=-1, keepdims=True)
 
 
+@jax.jit
 def undistort_keypoints(cam: Camera, uv):
     """Distorted pixel keypoints -> undistorted pixel keypoints under the
     same K (the reference's keypoint undistortion, `keyframe_be.cpp:101-140`)."""
@@ -192,6 +196,7 @@ def undistort_keypoints(cam: Camera, uv):
     return jnp.stack([fx * xy[..., 0] + cx, fy * xy[..., 1] + cy], axis=-1)
 
 
+@jax.jit
 def project_world(cam: Camera, T_w_s, p_w):
     """World point -> pixel through body pose ``T_w_s`` and extrinsic
     ``T_s_c``: the full projection chain used by GBA residuals

@@ -52,6 +52,23 @@ def quat_rotate(q, v):
     return v + 2.0 * (w * uv + np.cross(u, uv))
 
 
+def quat_to_matrix(q):
+    q = np.asarray(q, np.float64)
+    w, x, y, z = np.moveaxis(q, -1, 0)
+    xx, yy, zz = x * x, y * y, z * z
+    wx, wy, wz = w * x, w * y, w * z
+    xy, xz, yz = x * y, x * z, y * z
+    r = np.stack(
+        [
+            1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
+            2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
+            2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy),
+        ],
+        axis=-1,
+    )
+    return r.reshape(q.shape[:-1] + (3, 3))
+
+
 def pose_identity():
     return np.array([1.0, 0, 0, 0, 0, 0, 0], np.float64)
 

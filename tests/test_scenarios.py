@@ -161,3 +161,34 @@ def test_visual_export(world, vocab, tmp_path):
     assert len(snap["agents"]["0"]["poses"]) == 12
     assert len(snap["covis_edges"]) > 0
     assert len(snap["landmarks"]) > 20
+
+
+def test_loadmap_placerec_replay_merges(world, vocab, tmp_path):
+    """`covins_loadmap` with placerec replay (`backend.cpp:247-283`): two
+    maps built by separate single-agent runs over the same world are
+    saved, loaded into a FRESH server state, and the replay pass detects
+    the overlap and merges them (+ runs PGO per loop)."""
+    cfg = _cfg(perform_pgo=False)
+    paths = []
+    for cid in (0, 1):
+        mgr = MapManager(vocab, cfg)
+        s = AgentSession(cid, mgr, cfg)
+        for m in SyntheticAgent(world, cid, n_keyframes=14,
+                                t0=3.0 * cid).messages():
+            s.ingest(m)
+        s.flush()
+        p = str(tmp_path / f"map{cid}.npz")
+        mgr.map_of(cid).save(p)
+        paths.append(p)
+
+    from covins_tpu.models.map_store import Map
+    mgr2 = MapManager(vocab, cfg)
+    for p in paths:
+        mgr2.register_map(Map.load(p))
+    assert len(mgr2.maps) == 2
+    loaded = list(mgr2.maps.values())[-1]
+    stats = mgr2.replay_placerec(loaded, perform_pgo=True)
+    assert stats["merges"] >= 1, stats
+    assert len(mgr2.maps) == 1  # fused into one joint map
+    joint = next(iter(mgr2.maps.values()))
+    assert {0, 1} <= joint.associated_clients
