@@ -85,6 +85,7 @@ class EurocAgent:
         self.pose_drift = pose_drift
         self.rng = np.random.default_rng(seed + client_id)
         self.orb = cv2.ORB_create(nfeatures=n_features)
+        self.tri_reproj_px = 2.0  # triangulation verification gate
         self.calib = msgs.VICalibration(
             T_s_c=_pose_from_44(EUROC_T_BS),
             cam_model=0, dist_model=1,
@@ -212,6 +213,13 @@ class EurocAgent:
                         self._next_lm_id += 1
                         new_lms.append((tr.lm_id, pos, m.trainIdx))
                     else:
+                        # continuation: the new observation must reproject
+                        # near the already-triangulated point, or the match
+                        # is a descriptor collision — drop it (same role as
+                        # ORB-SLAM3's TrackLocalMap outlier flags)
+                        if tr.pos_w is not None and not self._reprojects(
+                                tr.pos_w, undist[m.trainIdx], T_w_c_cur):
+                            continue
                         tr.last_kf = k
                         tr.last_feat = m.trainIdx
                     lm_ids[m.trainIdx] = tr.lm_id
@@ -270,6 +278,16 @@ class EurocAgent:
             if self.max_keyframes and k >= self.max_keyframes:
                 break
 
+    def _reprojects(self, X, uv, T_w_c) -> bool:
+        from covins_tpu.utils import npgeo
+        fx, fy, cx, cy = EUROC_INTRINSICS[:4]
+        pc = npgeo.pose_apply(npgeo.pose_inverse(T_w_c), X)
+        if pc[2] < 1e-6:
+            return False
+        u = fx * pc[0] / pc[2] + cx
+        v = fy * pc[1] / pc[2] + cy
+        return bool(np.hypot(u - uv[0], v - uv[1]) <= self.tri_reproj_px)
+
     def _triangulate(self, uv1, uv2, T_w_c1, T_w_c2):
         fx, fy, cx, cy = EUROC_INTRINSICS[:4]
 
@@ -291,5 +309,13 @@ class EurocAgent:
         X = np.asarray(X[0])
         depth = np.linalg.norm(X - T_w_c1[4:7])
         if depth < 0.3 or depth > 60.0:
+            return None
+        # reprojection VERIFICATION in both founding views — a real VIO
+        # front-end refines map points in local BA and rejects tracks that
+        # do not reproject (ORB-SLAM3 CreateNewMapPoints epipolar +
+        # reprojection checks); without this a single wrong descriptor
+        # match mints a grossly wrong landmark
+        if not (self._reprojects(X, uv1, T_w_c1)
+                and self._reprojects(X, uv2, T_w_c2)):
             return None
         return X

@@ -65,7 +65,8 @@ def cmd_agent(args):
                                       seed=args.world_seed)
         agent = SyntheticAgent(world, client.client_id,
                                n_keyframes=args.keyframes,
-                               t0=args.t0, pose_drift=args.drift)
+                               t0=args.t0, pose_drift=args.drift,
+                               send_updates=args.send_updates)
     n = 0
     for msg in agent.messages():
         client.send(msg)
@@ -154,6 +155,9 @@ def main(argv=None):
     a.add_argument("--world-seed", type=int, default=0)
     a.add_argument("--t0", type=float, default=0.0)
     a.add_argument("--drift", type=float, default=0.0)
+    a.add_argument("--send-updates", action="store_true",
+                   help="re-send recent keyframes as pose/landmark updates "
+                        "(comm.send_updates plane)")
     a.set_defaults(fn=cmd_agent)
 
     d = sub.add_parser("admin", help="admin verbs (gba/pgo/savemap/loadmap/prunemap/stats)")

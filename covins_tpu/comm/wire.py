@@ -147,11 +147,11 @@ def _calib_from(rec) -> Optional[msgs.VICalibration]:
         return None
     return msgs.VICalibration(
         T_s_c=np.asarray(rec["calib.T_s_c"]),
-        cam_model=int(rec["calib.cam_model"]),
-        dist_model=int(rec["calib.dist_model"]),
+        cam_model=int(_f(rec["calib.cam_model"])),
+        dist_model=int(_f(rec["calib.dist_model"])),
         intrinsics=np.asarray(rec["calib.intrinsics"]),
         dist=np.asarray(rec["calib.dist"]),
-        img_w=int(rec["calib.img_w"]), img_h=int(rec["calib.img_h"]),
+        img_w=int(_f(rec["calib.img_w"])), img_h=int(_f(rec["calib.img_h"])),
         acc_noise=_f(rec["calib.acc_noise"]),
         gyro_noise=_f(rec["calib.gyro_noise"]),
         acc_walk=_f(rec["calib.acc_walk"]),

@@ -157,11 +157,14 @@ class Map:
     def match_features(self, row: int):
         """Pose-estimation feature set for image matching — the `_add` set
         when the agent sent one, else the primary set (the fallback of
-        `keyframe_be.cpp:42-226`).  Returns (kp_undist, descriptors, n)."""
+        `keyframe_be.cpp:42-226`).  Returns (kp_distorted, descriptors, n)
+        — DISTORTED pixel coordinates, since the geometric consumers
+        (back_project3, project-and-match) handle the distortion model
+        themselves, matching the reference convention."""
         na = int(self.kf_n_feat_add[row])
         if na > 0 and self.descriptors_add is not None:
             return self.kp_undist_add[row], self.descriptors_add[row], na
-        return self.kp_undist[row], self.descriptors[row], int(self.kf_n_feat[row])
+        return self.kp_uv[row], self.descriptors[row], int(self.kf_n_feat[row])
 
     def lm_row(self, idpair: IdPair) -> int:
         return self._lm_index.get(tuple(idpair), -1)
@@ -993,7 +996,9 @@ class Map:
         # observation weights from octave
         octs = self.kp_aors[self.obs_kf[:o], self.obs_feat[:o], 1]
         obs_w = 1.0 / (octave_base_sigma * (octs + 1.0))
-        obs_uv = self.kp_undist[self.obs_kf[:o], self.obs_feat[:o]]
+        # DISTORTED pixels: the residual projects WITH the distortion model
+        # (`optimization_be.cpp:183` uses keypoints_distorted_)
+        obs_uv = self.kp_uv[self.obs_kf[:o], self.obs_feat[:o]]
 
         # IMU factors: KF j's stored window covers (pred(j) -> j)
         fi, fj = [], []
@@ -1029,8 +1034,8 @@ class Map:
             lS = jnp.asarray(
                 np.stack([
                     np.diag([100.0] * 3 + [1e4] * 3) if l["cov"] is None
-                    else np.asarray(jnp.linalg.cholesky(
-                        jnp.linalg.inv(jnp.asarray(l["cov"]) + 1e-12 * jnp.eye(6))
+                    else np.asarray(np.linalg.cholesky(
+                        np.linalg.inv(np.asarray(l["cov"]) + 1e-12 * np.eye(6))
                     ).T)
                     for l in self.loops
                 ])

@@ -350,7 +350,8 @@ class PlaceRecognition:
         q_feat_matched = q_feats[matched]
         c_lm_matched = c_lms[midx[matched]]
         p_w_c = mp_c.lm_pos[c_lm_matched]  # (M, 3) candidate world
-        uv_q = mp_q.kp_undist[q_row, q_feat_matched]
+        # DISTORTED pixels: back_project3 undistorts internally
+        uv_q = mp_q.kp_uv[q_row, q_feat_matched]
         bear_q = np.asarray(
             cam_mod.back_project3(cam_q, jnp.asarray(uv_q, jnp.float64))
         )
@@ -392,7 +393,7 @@ class PlaceRecognition:
             jnp.asarray(mp_c.lm_desc[cl_pad]),
             jnp.asarray(mp_c.lm_normal[cl_pad]),
             jnp.asarray(c_valid & ~c_already & mp_c.lm_mask[cl_pad]),
-            jnp.asarray(mp_q.kp_undist[q_row], jnp.float64),
+            jnp.asarray(mp_q.kp_uv[q_row], jnp.float64),
             jnp.asarray(mp_q.descriptors[q_row]),
             jnp.asarray(mp_q.kp_aors[q_row, :, 1], jnp.float64),
             jnp.asarray(
@@ -456,7 +457,7 @@ class PlaceRecognition:
                 jnp.asarray(mp_c.lm_desc[hl_pad]),
                 jnp.asarray(mp_c.lm_normal[hl_pad]),
                 jnp.asarray(h_valid & mp_c.lm_mask[hl_pad]),
-                jnp.asarray(mp_q.kp_undist[q_row], jnp.float64),
+                jnp.asarray(mp_q.kp_uv[q_row], jnp.float64),
                 jnp.asarray(mp_q.descriptors[q_row]),
                 jnp.asarray(mp_q.kp_aors[q_row, :, 1], jnp.float64),
                 jnp.asarray(

@@ -32,6 +32,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from covins_tpu.ops import linalg as la_small
 from covins_tpu.ops import ransac
 from covins_tpu.utils import geometry as geo
 
@@ -100,9 +101,9 @@ def essential_8pt(fa, fb, weights=None):
     A = (fa[:, :, None] * fb[:, None, :]).reshape(fa.shape[0], 9)
     if weights is not None:
         A = A * weights[:, None]
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    _, _, Vt = la_small.svd_cast(A, full_matrices=True)
     E = Vt[-1].reshape(3, 3)
-    U, _, Vt2 = jnp.linalg.svd(E)
+    U, _, Vt2 = la_small.svd_cast(E)
     # enforce rank-2 with equal singular values, keep det(U)=det(V)=+1
     D = jnp.asarray([1.0, 1.0, 0.0], E.dtype)
     return (U * D[None, :]) @ Vt2
@@ -110,10 +111,10 @@ def essential_8pt(fa, fb, weights=None):
 
 def decompose_essential(E):
     """E -> 4 candidate T_a_b poses (R, unit t): (4, 7)."""
-    U, _, Vt = jnp.linalg.svd(E)
+    U, _, Vt = la_small.svd_cast(E)
     # make proper rotations
-    U = U * jnp.sign(jnp.linalg.det(U))
-    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    U = U * jnp.sign(la_small.det33(U))
+    Vt = Vt * jnp.sign(la_small.det33(Vt))
     W = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
     R1 = U @ W @ Vt
     R2 = U @ W.T @ Vt
@@ -186,19 +187,19 @@ def gep_17pt(va, fa, vb, fb, weights=None):
     A = _gec_rows(va, fa, vb, fb)
     if weights is not None:
         A = A * weights[:, None]
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    _, _, Vt = la_small.svd_cast(A, full_matrices=True)
     x = Vt[-1]
     Rpart = x[9:].reshape(3, 3)
     # fix the nullvector scale: ||R||_F = sqrt(3)
     lam = jnp.sqrt(3.0) / jnp.maximum(jnp.linalg.norm(Rpart), 1e-12)
-    sign = jnp.sign(jnp.linalg.det(Rpart))
+    sign = jnp.sign(la_small.det33(Rpart))
     sign = jnp.where(sign == 0, 1.0, sign)
     x = x * lam * sign
     Epart = x[:9].reshape(3, 3)
     Rpart = x[9:].reshape(3, 3)
     # project R to SO(3)
-    U, _, Vt2 = jnp.linalg.svd(Rpart)
-    d = jnp.sign(jnp.linalg.det(U @ Vt2))
+    U, _, Vt2 = la_small.svd_cast(Rpart)
+    d = jnp.sign(la_small.det33(U @ Vt2))
     D = jnp.asarray([1.0, 1.0, 0.0], x.dtype) + jnp.asarray([0.0, 0.0, 1.0], x.dtype) * d
     R = (U * D[None, :]) @ Vt2
     # E = [t]x R  =>  [t]x = E R^T

@@ -37,6 +37,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from covins_tpu.ops import linalg as la_small
 from covins_tpu.ops import imu as imu_mod
 from covins_tpu.ops import residuals as res
 from covins_tpu.utils import cameras as cam_mod
@@ -249,7 +250,7 @@ def _gn_schur_step(p: GBAProblem, state, lam, n_cg, visual_only):
     eye3 = jnp.eye(3, dtype=dtype)
     dll = jnp.einsum("mii->mi", Hll)  # (M, 3) diagonals
     Hll = Hll + lam * dll[..., None] * eye3 + 1e-10 * eye3
-    Hll_inv = jnp.linalg.inv(Hll) * lm_free[..., None]
+    Hll_inv = la_small.inv33(Hll) * lm_free[..., None]
 
     # ---- helpers for the reduced system -----------------------------------
     def Hpp_v(v):
@@ -311,7 +312,7 @@ def _gn_schur_step(p: GBAProblem, state, lam, n_cg, visual_only):
     b_red = (b_p - Hpl_w(Hll_inv_apply(b_l))) * free
 
     M_damped = M_blocks + jax.vmap(jnp.diag)(lam_diag)
-    M_inv = jnp.linalg.inv(M_damped)
+    M_inv = la_small.inv_psd_small(M_damped)
 
     # ---- PCG on the reduced camera system ---------------------------------
     def apply_M(r):
@@ -451,10 +452,10 @@ def global_bundle_adjustment(
 
 def imu_sqrt_info_from_cov(cov, jitter: float = 1e-10):
     """(..., 9, 9) covariance -> upper-Cholesky sqrt information."""
-    info = jnp.linalg.inv(
+    info = la_small.inv_psd_small(
         cov + jitter * jnp.eye(cov.shape[-1], dtype=cov.dtype)
     )
-    return jnp.linalg.cholesky(info).swapaxes(-1, -2)
+    return la_small.cholesky_small(info).swapaxes(-1, -2)
 
 
 def bias_walk_sqrt_info(noise: imu_mod.ImuNoise, dt, dtype=jnp.float64):

@@ -81,11 +81,17 @@ def hamming_distance_packed_T(
         functools.partial(_hamming_kernel, nbits=nbits, dtype=dtype),
         grid=grid,
         in_specs=[
+            # NOTE: the leading block index is `i * 0`, not the literal 0 —
+            # under jax_enable_x64 a Python 0 traces as i64 while program
+            # ids stay i32, and Mosaic rejects the mixed-type index map
+            # (`func.return (i64, i32)` legalization failure).
             pl.BlockSpec(
-                (nbytes, block_m), lambda i, j: (0, i), memory_space=pltpu.VMEM
+                (nbytes, block_m), lambda i, j: (i * 0, i),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (nbytes, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM
+                (nbytes, block_n), lambda i, j: (j * 0, j),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(

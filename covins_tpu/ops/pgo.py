@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from covins_tpu.ops import residuals as res
+from covins_tpu.ops import linalg as la_small
 from covins_tpu.utils import geometry as geo
 
 
@@ -166,7 +167,7 @@ def optimize_pose_graph(
             .at[g.edge_i].add(Pi)
             .at[g.edge_j].add(Pj)
         ) + (damping + 1e-9) * jnp.eye(6, dtype=poses.dtype)
-        Minv = jnp.linalg.inv(M)
+        Minv = la_small.inv_psd_small(M)
 
         def Hv(v):
             vi = v[g.edge_i]

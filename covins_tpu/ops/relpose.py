@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from covins_tpu.ops import residuals as res
+from covins_tpu.ops import linalg as la_small
 from covins_tpu.utils import cameras as cam_mod
 from covins_tpu.utils import geometry as geo
 
@@ -71,7 +72,7 @@ def _gn_rounds(cam1, cam2, T12, p1, p2, w, n_iters, damping, huber_delta=0.0):
         H = jnp.einsum("nri,nrj->ij", Jw, J)
         b = -jnp.einsum("nri,nr->i", Jw, r)
         H = H + damping * jnp.eye(6, dtype=T.dtype)
-        xi = jnp.linalg.solve(H, b)
+        xi = la_small.solve_psd_small(H, b)
         r_new, valid_new = residual_at(xi, T)
         cost_old = robust_cost(r, valid)
         cost_new = robust_cost(r_new, valid_new)

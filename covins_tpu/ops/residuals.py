@@ -21,6 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from covins_tpu.ops import linalg as la_small
 from covins_tpu.utils import cameras as cam_mod
 from covins_tpu.utils import geometry as geo
 
@@ -62,8 +63,8 @@ def loop_sqrt_info_fixed(dtype=jnp.float64):
 def sqrt_info_from_covariance(cov, jitter: float = 1e-12):
     """Upper-triangular sqrt-information from a covariance (COVINS-G loop
     edges carry the sampling covariance, `optimization_be.cpp:889-944`)."""
-    info = jnp.linalg.inv(cov + jitter * jnp.eye(cov.shape[-1], dtype=cov.dtype))
-    return jnp.linalg.cholesky(info).swapaxes(-1, -2)  # upper: L^T
+    info = la_small.inv_psd_small(cov + jitter * jnp.eye(cov.shape[-1], dtype=cov.dtype))
+    return la_small.cholesky_small(info).swapaxes(-1, -2)  # upper: L^T
 
 
 def cauchy_weight(r2, scale: float):

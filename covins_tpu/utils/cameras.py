@@ -124,7 +124,16 @@ def undistort(dist_model: int, dist, xy_d, iters: int = 20):
         J = jax.vmap(jax.jacfwd(lambda p: distort(dist_model, dist, p)))(
             xy.reshape(-1, 2)
         ).reshape(xy.shape[:-1] + (2, 2))
-        delta = jnp.linalg.solve(J, f[..., None])[..., 0]
+        # closed-form 2x2 solve (adjugate/det): TPU has no f64
+        # LuDecomposition, and this fuses into the loop body anyway
+        a, b = J[..., 0, 0], J[..., 0, 1]
+        c, d = J[..., 1, 0], J[..., 1, 1]
+        det = a * d - b * c
+        det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        fx, fy = f[..., 0], f[..., 1]
+        delta = jnp.stack(
+            [(d * fx - b * fy) / det, (a * fy - c * fx) / det], axis=-1
+        )
         return xy - delta
 
     return jax.lax.fori_loop(0, iters, body, xy_d)

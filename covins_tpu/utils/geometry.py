@@ -241,7 +241,9 @@ def se3_exp(xi):
 def se3_log(p):
     """pose (..., 7) -> se(3) tangent (..., 6) [rot, trans]."""
     w = quat_log(pose_q(p))
-    Jl_inv = jnp.linalg.inv(so3_left_jacobian(w))
+    W = so3_left_jacobian(w)
+    from covins_tpu.ops.linalg import inv33
+    Jl_inv = inv33(W)
     v = jnp.einsum("...ij,...j->...i", Jl_inv, pose_t(p))
     return jnp.concatenate([w, v], axis=-1)
 
@@ -329,8 +331,9 @@ def umeyama_alignment(src, dst, weights=None, with_scale=True):
     xs = src - mu_s
     xd = dst - mu_d
     cov = (w * xd).T @ xs  # 3x3
-    U, D, Vt = jnp.linalg.svd(cov)
-    d = jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vt))
+    from covins_tpu.ops.linalg import det33, svd_cast
+    U, D, Vt = svd_cast(cov)
+    d = jnp.sign(det33(U) * det33(Vt))
     S = jnp.diag(jnp.array([1.0, 1.0, 0.0], src.dtype)) + jnp.diag(
         jnp.array([0.0, 0.0, 1.0], src.dtype) * d
     )
