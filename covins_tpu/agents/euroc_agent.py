@@ -6,10 +6,14 @@ canonical workloads (`orb_slam3/covins_examples/euroc_examples_mh*.sh`,
 `Examples/Monocular-Inertial/mono_inertial_euroc.cc:43`): reads cam0
 images + IMU + ground-truth state, selects keyframes by motion threshold
 (the `covins_frontend` t_min/r_min scheme, `frontend_wrapper.cpp:293-310`),
-extracts ORB features (OpenCV), maintains landmark TRACKS by
-mutual-nearest-neighbor Hamming matching between consecutive keyframes,
-triangulates tracks against the odometry poses, and emits
-MsgKeyframe/MsgLandmark streams identical in shape to the synthetic agent.
+extracts ORB features (OpenCV), maintains landmark TRACKS —
+projection-guided continuation (the role of ORB-SLAM3's TrackLocalMap:
+project each live track into the new view, search a pixel radius, accept
+the best descriptor under a Hamming gate) plus ratio-test minting with
+batched midpoint triangulation and two-view reprojection verification —
+and emits MsgKeyframe/MsgLandmark streams identical in shape to the
+synthetic agent.  All per-frame math is vectorized host numpy: the agent
+is the IO/front-end shell, the device is reserved for the back-end.
 
 The odometry poses default to ground truth with optional synthetic drift —
 this isolates the BACK-END under test from front-end VIO quality, while
@@ -27,9 +31,7 @@ from typing import Iterator, Optional
 import numpy as np
 
 from covins_tpu.comm import messages as msgs
-from covins_tpu.utils import geometry as geo
-
-import jax.numpy as jnp
+from covins_tpu.utils import npgeo
 
 # EuRoC MAV cam0 calibration (sensor.yaml of the public dataset)
 EUROC_INTRINSICS = np.asarray([458.654, 457.296, 367.215, 248.375, 0.0])
@@ -43,7 +45,60 @@ EUROC_T_BS = np.asarray([  # cam0 extrinsic T_imu_cam (4x4)
 
 
 def _pose_from_44(T):
-    return np.asarray(geo.pose_from_matrix(jnp.asarray(T)))
+    T = np.asarray(T, np.float64)
+    R = T[:3, :3]
+    # rotation matrix -> quaternion (Shepperd's method, w-positive branch)
+    tr = np.trace(R)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        q = np.asarray([0.25 * s, (R[2, 1] - R[1, 2]) / s,
+                        (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s])
+    else:
+        i = int(np.argmax(np.diag(R)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 1e-12)) * 2
+        q = np.empty(4)
+        q[0] = (R[k, j] - R[j, k]) / s
+        q[1 + i] = 0.25 * s
+        q[1 + j] = (R[j, i] + R[i, j]) / s
+        q[1 + k] = (R[k, i] + R[i, k]) / s
+    return np.concatenate([npgeo.quat_normalize(q), T[:3, 3]])
+
+
+# popcount LUT for packed-uint8 ORB descriptors (host-side matching)
+_POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+    1).astype(np.uint16)
+
+
+def _hamming_np(a, b):
+    """Packed Hamming distances (N, 32) x (M, 32) uint8 -> (N, M) int."""
+    return _POP[a[:, None, :] ^ b[None, :, :]].sum(-1)
+
+
+def _bearings(uv):
+    """Undistorted pixels (N, 2) -> unit camera-frame bearings (N, 3)."""
+    fx, fy, cx, cy = EUROC_INTRINSICS[:4]
+    v = np.stack([(uv[:, 0] - cx) / fx, (uv[:, 1] - cy) / fy,
+                  np.ones(len(uv))], 1)
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+def _triangulate_midpoint_np(o1, d1, o2, d2):
+    """Numpy twin of `ops/epipolar.triangulate_midpoint` (batched)."""
+    w0 = np.asarray(o1, np.float64) - np.asarray(o2, np.float64)
+    a = (d1 * d1).sum(-1)
+    b = (d1 * d2).sum(-1)
+    c = (d2 * d2).sum(-1)
+    d = (d1 * w0).sum(-1)
+    e = (d2 * w0).sum(-1)
+    denom = a * c - b * b
+    ok = np.abs(denom) > 1e-12
+    denom_s = np.where(ok, denom, 1.0)
+    s = (b * e - c * d) / denom_s
+    t = (a * e - b * d) / denom_s
+    ok &= (s > 0) & (t > 0)  # cheirality in both views
+    X = 0.5 * ((o1 + s[..., None] * d1) + (o2 + t[..., None] * d2))
+    return X, ok
 
 
 @dataclasses.dataclass
@@ -85,7 +140,11 @@ class EurocAgent:
         self.pose_drift = pose_drift
         self.rng = np.random.default_rng(seed + client_id)
         self.orb = cv2.ORB_create(nfeatures=n_features)
-        self.tri_reproj_px = 2.0  # triangulation verification gate
+        self.tri_reproj_px = 2.0    # triangulation verification gate
+        self.track_radius_px = 8.0  # projection-guided search radius
+        self.match_max_dist = 64    # Hamming gate for guided continuation
+        self.mint_max_dist = 50     # Hamming gate for new-track minting
+        self.epi_px = 2.5           # epipolar-line gate for minting
         self.calib = msgs.VICalibration(
             T_s_c=_pose_from_44(EUROC_T_BS),
             cam_model=0, dist_model=1,
@@ -141,10 +200,10 @@ class EurocAgent:
                 continue
             pose_gt, vel = self._gt_pose_at(gt, t_ns)
             if last_pose is not None:
-                d = np.asarray(geo.pose_boxminus(
-                    jnp.asarray(pose_gt), jnp.asarray(last_pose)))
-                if (np.linalg.norm(d[3:]) < self.kf_t_min
-                        and np.linalg.norm(d[:3]) < self.kf_r_min):
+                rel = npgeo.pose_relative(last_pose, pose_gt)
+                ang = 2.0 * np.arccos(np.clip(abs(rel[0]), 0.0, 1.0))
+                if (np.linalg.norm(rel[4:7]) < self.kf_t_min
+                        and ang < self.kf_r_min):
                     continue  # not a keyframe (motion threshold)
             img_path = os.path.join(self.cam_dir, "data", fname)
             img = cv2.imread(img_path, cv2.IMREAD_GRAYSCALE)
@@ -155,16 +214,18 @@ class EurocAgent:
                 continue
             last_pose = pose_gt
 
-            # odometry pose: GT, optionally drifted
+            # odometry pose: GT, optionally drifted (right-perturbed
+            # relative pose re-chained onto the drifted trajectory)
             if self.pose_drift > 0 and drift_pose is not None:
-                rel = np.asarray(geo.pose_relative(
-                    jnp.asarray(prev[3]), jnp.asarray(pose_gt)))
+                rel = npgeo.pose_relative(prev[3], pose_gt)
                 noise = self.rng.normal(0.0, self.pose_drift, 6)
                 noise[:3] *= 0.2
-                rel = np.asarray(geo.pose_boxplus(jnp.asarray(rel),
-                                                  jnp.asarray(noise)))
-                pose_vio = np.asarray(geo.pose_compose(
-                    jnp.asarray(drift_pose), jnp.asarray(rel)))
+                dq = npgeo.quat_exp(noise[:3])
+                rel = np.concatenate([
+                    npgeo.quat_normalize(npgeo.quat_multiply(rel[:4], dq)),
+                    rel[4:7] + npgeo.quat_rotate(rel[:4], noise[3:]),
+                ])
+                pose_vio = npgeo.pose_compose(drift_pose, rel)
             else:
                 pose_vio = pose_gt
             drift_pose = pose_vio
@@ -186,45 +247,115 @@ class EurocAgent:
             ).reshape(-1, 2).astype(np.float32)
 
             lm_ids = np.full(len(kps), -1, np.int64)
-            new_lms: list[tuple[int, np.ndarray, int]] = []  # (lm_id, pos_w, feat)
+            # (lm_id, pos_w, feat, prev_feat) — both founding observations
+            new_lms: list[tuple[int, np.ndarray, int, int]] = []
 
             if prev is not None:
-                # track via mutual-NN Hamming matching against the previous KF
-                bf = cv2.BFMatcher(cv2.NORM_HAMMING, crossCheck=True)
-                matches = bf.match(prev[2], descs)
-                T_w_c_prev = np.asarray(geo.pose_compose(
-                    jnp.asarray(prev[3]), jnp.asarray(self.calib.T_s_c)))
-                T_w_c_cur = np.asarray(geo.pose_compose(
-                    jnp.asarray(pose_vio), jnp.asarray(self.calib.T_s_c)))
+                T_w_c_prev = npgeo.pose_compose(prev[3], self.calib.T_s_c)
+                T_w_c_cur = npgeo.pose_compose(pose_vio, self.calib.T_s_c)
                 new_tracks: dict[int, _Track] = {}
-                for m in matches:
-                    if m.distance > 50:
-                        continue
-                    tr = tracks.get(m.queryIdx)
-                    if tr is None:
-                        # new track: triangulate between the two views
-                        pos = self._triangulate(
-                            prev[5][m.queryIdx], undist[m.trainIdx],
-                            T_w_c_prev, T_w_c_cur,
-                        )
-                        if pos is None:
+                bound_prev = np.zeros(len(prev[2]), bool)
+                bound_cur = np.zeros(len(kps), bool)
+
+                # 1) continuation: projection-guided matching.  Global
+                #    mutual-NN between random-texture views is mostly
+                #    collisions (measured: median 79 px reprojection error);
+                #    a real front-end tracks by projecting the map into the
+                #    new view (ORB-SLAM3 TrackLocalMap / SearchByProjection).
+                slots = [s for s, tr in tracks.items() if tr.pos_w is not None]
+                if slots and len(kps):
+                    P = np.stack([tracks[s].pos_w for s in slots])
+                    pc = npgeo.pose_apply(npgeo.pose_inverse(T_w_c_cur), P)
+                    z = np.maximum(pc[:, 2], 1e-9)
+                    fx, fy, cx, cy = EUROC_INTRINSICS[:4]
+                    proj = np.stack([fx * pc[:, 0] / z + cx,
+                                     fy * pc[:, 1] / z + cy], 1)
+                    d2 = ((undist[None, :, :] - proj[:, None, :]) ** 2).sum(-1)
+                    near = (d2 <= self.track_radius_px ** 2) & (
+                        pc[:, 2:3] > 1e-6)
+                    ham = _hamming_np(prev[2][np.asarray(slots)], descs)
+                    cost = np.where(near & (ham <= self.match_max_dist),
+                                    ham, 1 << 14).astype(np.int32)
+                    best = cost.min(1)
+                    for ti in np.argsort(best):  # best continuations first
+                        if best[ti] >= (1 << 14):
+                            break
+                        j = int(cost[ti].argmin())
+                        if bound_cur[j]:
                             continue
-                        tr = _Track(self._next_lm_id, pos, k, m.trainIdx, False)
+                        s = slots[ti]
+                        tr = tracks[s]
+                        tr.last_kf, tr.last_feat = k, j
+                        lm_ids[j] = tr.lm_id
+                        new_tracks[j] = tr
+                        bound_cur[j] = True
+                        bound_prev[s] = True
+
+                # 2) minting: EPIPOLAR-GUIDED matching among still-unbound
+                #    features (ORB-SLAM3 SearchForTriangulation: the known
+                #    odometry relative pose constrains candidates to the
+                #    epipolar line, which makes descriptor discrimination
+                #    viable), then ONE batched midpoint triangulation +
+                #    two-view reprojection verification (a wrong descriptor
+                #    match must not mint a grossly wrong landmark).
+                qi = np.where(~bound_prev)[0]
+                tj = np.where(~bound_cur)[0]
+                cand = []
+                baseline = np.linalg.norm(T_w_c_cur[4:7] - T_w_c_prev[4:7])
+                if len(qi) and len(tj) and baseline > 1e-3:
+                    fx, fy, cx, cy = EUROC_INTRINSICS[:4]
+                    K = np.asarray([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+                    T_21 = npgeo.pose_relative(T_w_c_cur, T_w_c_prev)
+                    R = npgeo.quat_to_matrix(T_21[:4])
+                    t = T_21[4:7]
+                    tx = np.asarray([[0, -t[2], t[1]], [t[2], 0, -t[0]],
+                                     [-t[1], t[0], 0]])
+                    Kinv = np.linalg.inv(K)
+                    F = Kinv.T @ tx @ R @ Kinv
+                    p1 = np.concatenate(
+                        [prev[5][qi], np.ones((len(qi), 1))], 1)
+                    p2 = np.concatenate(
+                        [undist[tj], np.ones((len(tj), 1))], 1)
+                    lines = p1 @ F.T  # epipolar lines in the current image
+                    ed = np.abs(lines @ p2.T) / np.maximum(
+                        np.hypot(lines[:, :1], lines[:, 1:2]), 1e-12)
+                    ham = _hamming_np(prev[2][qi], descs[tj])
+                    big = 1 << 14
+                    cost = np.where(
+                        (ed <= self.epi_px) & (ham <= self.mint_max_dist),
+                        ham, big).astype(np.int32)
+                    rbest = cost.argmin(1)
+                    cbest = cost.argmin(0)
+                    rows = np.arange(len(qi))
+                    mutual = (cbest[rbest] == rows) & (
+                        cost[rows, rbest] < big)
+                    cand = [(int(qi[r]), int(tj[rbest[r]]))
+                            for r in np.where(mutual)[0]]
+                if cand:
+                    ca = np.asarray(cand)
+                    uv1 = prev[5][ca[:, 0]]
+                    uv2 = undist[ca[:, 1]]
+                    d1 = npgeo.quat_rotate(T_w_c_prev[:4], _bearings(uv1))
+                    d2w = npgeo.quat_rotate(T_w_c_cur[:4], _bearings(uv2))
+                    X, ok = _triangulate_midpoint_np(
+                        T_w_c_prev[4:7], d1, T_w_c_cur[4:7], d2w)
+                    depth = np.linalg.norm(X - T_w_c_prev[4:7], axis=1)
+                    ok &= (depth > 0.3) & (depth < 60.0)
+                    ok &= self._reproj_errs(X, uv1, T_w_c_prev) \
+                        <= self.tri_reproj_px
+                    ok &= self._reproj_errs(X, uv2, T_w_c_cur) \
+                        <= self.tri_reproj_px
+                    for (qslot, jslot), pos, good in zip(cand, X, ok):
+                        if not good:
+                            continue
+                        tr = _Track(self._next_lm_id, pos, k, int(jslot),
+                                    False)
                         self._next_lm_id += 1
-                        new_lms.append((tr.lm_id, pos, m.trainIdx))
-                    else:
-                        # continuation: the new observation must reproject
-                        # near the already-triangulated point, or the match
-                        # is a descriptor collision — drop it (same role as
-                        # ORB-SLAM3's TrackLocalMap outlier flags)
-                        if tr.pos_w is not None and not self._reprojects(
-                                tr.pos_w, undist[m.trainIdx], T_w_c_cur):
-                            continue
-                        tr.last_kf = k
-                        tr.last_feat = m.trainIdx
-                    lm_ids[m.trainIdx] = tr.lm_id
-                    new_tracks[m.trainIdx] = tr
-                tracks = new_tracks  # slots not re-matched are dropped
+                        new_lms.append((tr.lm_id, pos, int(jslot),
+                                        int(qslot)))
+                        lm_ids[jslot] = tr.lm_id
+                        new_tracks[int(jslot)] = tr
+                tracks = new_tracks  # slots not re-bound are dropped
 
             # IMU window between previous KF and this one
             pre = None
@@ -248,10 +379,8 @@ class EurocAgent:
                 descriptors=descs,
                 id_reference=(k - 1, self.client_id) if k > 0 else (-1, -1),
                 T_sref_s=(
-                    np.asarray(geo.pose_relative(jnp.asarray(prev[3]),
-                                                 jnp.asarray(pose_vio)))
-                    if prev is not None else
-                    np.asarray(geo.pose_identity(np.float64))
+                    npgeo.pose_relative(prev[3], pose_vio)
+                    if prev is not None else npgeo.pose_identity()
                 ),
                 T_w_s_vio=pose_vio,
                 velocity=vel,
@@ -262,15 +391,17 @@ class EurocAgent:
                 id_predecessor=(k - 1, self.client_id) if k > 0 else (-1, -1),
                 id_successor=(-1, -1),
             )
-            for lm_id, pos_w, feat in new_lms:
-                pos_ref = np.asarray(geo.pose_apply(
-                    geo.pose_inverse(jnp.asarray(pose_vio)), jnp.asarray(pos_w)
-                ))
+            for lm_id, pos_w, feat, prev_feat in new_lms:
+                pos_ref = npgeo.pose_apply(npgeo.pose_inverse(pose_vio),
+                                           pos_w)
                 yield msgs.MsgLandmark(
                     id=(lm_id, self.client_id),
                     id_reference=(k, self.client_id),
                     pos_ref=pos_ref,
-                    observations={(k, self.client_id): int(feat)},
+                    # both founding views (the reference landmark message
+                    # carries its full observation set, msgs.hpp MsgLandmark)
+                    observations={(k - 1, self.client_id): int(prev_feat),
+                                  (k, self.client_id): int(feat)},
                 )
 
             prev = (k, kps, descs, pose_vio, t_ns, undist)
@@ -278,44 +409,11 @@ class EurocAgent:
             if self.max_keyframes and k >= self.max_keyframes:
                 break
 
-    def _reprojects(self, X, uv, T_w_c) -> bool:
-        from covins_tpu.utils import npgeo
+    def _reproj_errs(self, X, uv, T_w_c):
+        """Batched pinhole reprojection error in pixels; 1e9 behind camera."""
         fx, fy, cx, cy = EUROC_INTRINSICS[:4]
         pc = npgeo.pose_apply(npgeo.pose_inverse(T_w_c), X)
-        if pc[2] < 1e-6:
-            return False
-        u = fx * pc[0] / pc[2] + cx
-        v = fy * pc[1] / pc[2] + cy
-        return bool(np.hypot(u - uv[0], v - uv[1]) <= self.tri_reproj_px)
-
-    def _triangulate(self, uv1, uv2, T_w_c1, T_w_c2):
-        fx, fy, cx, cy = EUROC_INTRINSICS[:4]
-
-        def bearing(uv):
-            v = np.asarray([(uv[0] - cx) / fx, (uv[1] - cy) / fy, 1.0])
-            return v / np.linalg.norm(v)
-
-        from covins_tpu.ops import epipolar
-        d1 = np.asarray(geo.quat_rotate(jnp.asarray(T_w_c1[:4]),
-                                        jnp.asarray(bearing(uv1))))
-        d2 = np.asarray(geo.quat_rotate(jnp.asarray(T_w_c2[:4]),
-                                        jnp.asarray(bearing(uv2))))
-        X, ok = epipolar.triangulate_midpoint(
-            jnp.asarray(T_w_c1[4:7])[None], jnp.asarray(d1)[None],
-            jnp.asarray(T_w_c2[4:7])[None], jnp.asarray(d2)[None],
-        )
-        if not bool(ok[0]):
-            return None
-        X = np.asarray(X[0])
-        depth = np.linalg.norm(X - T_w_c1[4:7])
-        if depth < 0.3 or depth > 60.0:
-            return None
-        # reprojection VERIFICATION in both founding views — a real VIO
-        # front-end refines map points in local BA and rejects tracks that
-        # do not reproject (ORB-SLAM3 CreateNewMapPoints epipolar +
-        # reprojection checks); without this a single wrong descriptor
-        # match mints a grossly wrong landmark
-        if not (self._reprojects(X, uv1, T_w_c1)
-                and self._reprojects(X, uv2, T_w_c2)):
-            return None
-        return X
+        z = np.maximum(pc[..., 2], 1e-9)
+        err = np.hypot(fx * pc[..., 0] / z + cx - uv[..., 0],
+                       fy * pc[..., 1] / z + cy - uv[..., 1])
+        return np.where(pc[..., 2] < 1e-6, 1e9, err)

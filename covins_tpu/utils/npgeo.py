@@ -52,6 +52,16 @@ def quat_rotate(q, v):
     return v + 2.0 * (w * uv + np.cross(u, uv))
 
 
+def quat_exp(w):
+    """so(3) tangent (..., 3) -> unit quaternion (..., 4)."""
+    w = np.asarray(w, np.float64)
+    theta = np.linalg.norm(w, axis=-1, keepdims=True)
+    half = 0.5 * theta
+    sinc = np.where(theta < 1e-8, 0.5 - theta**2 / 48.0,
+                    np.sin(half) / np.maximum(theta, 1e-24))
+    return quat_normalize(np.concatenate([np.cos(half), sinc * w], axis=-1))
+
+
 def quat_to_matrix(q):
     q = np.asarray(q, np.float64)
     w, x, y, z = np.moveaxis(q, -1, 0)
