@@ -137,9 +137,23 @@ def hamming_ab():
 
 
 def main():
+    import os
+
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    # persistent executable cache: tunneled-TPU compiles cost minutes, and
+    # the warmup pass only pays them once per cache lifetime this way
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("COVINS_TPU_COMPILE_CACHE",
+                           "/tmp/covins_tpu_xla_cache_tpu"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
     from covins_tpu.utils.config import Config
 
     cfg = Config()

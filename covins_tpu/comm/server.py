@@ -154,12 +154,21 @@ class CovinsServer:
         """The four service verbs (`backend.cpp:128-357`)."""
         verb = cmd.get("verb")
         if verb == "gba":
+            # `CallbackGBA` action codes (`backend.cpp:128-176`): visual-only
+            # and outlier-removal toggles + optional solver time budget.
             map_id = int(cmd.get("map_id", 0))
             visual_only = bool(cmd.get("visual_only", False))
-            info = self.manager.run_gba(map_id, visual_only=visual_only)
+            outlier_removal = bool(cmd.get("outlier_removal", True))
+            tb = cmd.get("time_budget_s")
+            info = self.manager.run_gba(
+                map_id, visual_only=visual_only,
+                outlier_removal=outlier_removal,
+                time_budget_s=float(tb) if tb is not None else None,
+            )
             mp = self.manager.maps[map_id]
             mp.write_trajectories(self.output_dir, fmt=self.cfg.trajectory_format)
             return {"ok": True, "n_pruned": info.get("n_pruned", 0),
+                    "time_budget_hit": bool(info.get("time_budget_hit", False)),
                     "final_cost": float(np.asarray(info["costs"])[-1])}
         if verb == "pgo":
             map_id = int(cmd.get("map_id", 0))

@@ -261,8 +261,17 @@ class MapManager:
         mp.apply_pose_graph_result(np.asarray(poses))
 
     # --------------------------------------------------------------- admin
-    def run_gba(self, map_id: int, visual_only: bool = False):
-        """`CallbackGBA` action semantics (`backend.cpp:128-176`)."""
+    def run_gba(self, map_id: int, visual_only: bool = False,
+                outlier_removal: bool = True,
+                time_budget_s: float | None = None):
+        """`CallbackGBA` action semantics (`backend.cpp:128-176`): action
+        codes select visual-only and outlier-removal variants; the whitened
+        residual is pruned at `th_gba_outlier_global` directly (0.92, the
+        Ceres residual-norm threshold, `optimization_be.cpp:269-292`).
+        After write-back, landmark attributes (representative descriptor +
+        normal) are refreshed — the re-covisibility step of the reference;
+        covisibility itself is derived from the live observation COO here,
+        so pruned observations update it implicitly."""
         from covins_tpu.ops import gba as gba_mod
 
         mp = self.maps[map_id]
@@ -270,7 +279,11 @@ class MapManager:
         p2, info = gba_mod.global_bundle_adjustment(
             p, n_gn=self.cfg.gba_iteration_limit, n_cg=60,
             visual_only=visual_only,
-            th_outlier=self.cfg.th_gba_outlier_global * 10.0,
+            outlier_removal=outlier_removal,
+            th_outlier=self.cfg.th_gba_outlier_global,
+            time_budget_s=time_budget_s,
         )
         mp.apply_gba_result(p2)
+        if outlier_removal and info.get("n_pruned", 0) > 0:
+            mp.update_landmark_attributes()
         return info

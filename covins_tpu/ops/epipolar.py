@@ -101,9 +101,9 @@ def essential_8pt(fa, fb, weights=None):
     A = (fa[:, :, None] * fb[:, None, :]).reshape(fa.shape[0], 9)
     if weights is not None:
         A = A * weights[:, None]
-    _, _, Vt = la_small.svd_cast(A, full_matrices=True)
-    E = Vt[-1].reshape(3, 3)
-    U, _, Vt2 = la_small.svd_cast(E)
+    x = la_small.min_eigvec_psd(A.T @ A)  # nullspace of A (no SVD on TPU)
+    E = x.reshape(3, 3)
+    U, _, Vt2 = la_small.svd3x3(E)
     # enforce rank-2 with equal singular values, keep det(U)=det(V)=+1
     D = jnp.asarray([1.0, 1.0, 0.0], E.dtype)
     return (U * D[None, :]) @ Vt2
@@ -111,7 +111,7 @@ def essential_8pt(fa, fb, weights=None):
 
 def decompose_essential(E):
     """E -> 4 candidate T_a_b poses (R, unit t): (4, 7)."""
-    U, _, Vt = la_small.svd_cast(E)
+    U, _, Vt = la_small.svd3x3(E)
     # make proper rotations
     U = U * jnp.sign(la_small.det33(U))
     Vt = Vt * jnp.sign(la_small.det33(Vt))
@@ -187,8 +187,7 @@ def gep_17pt(va, fa, vb, fb, weights=None):
     A = _gec_rows(va, fa, vb, fb)
     if weights is not None:
         A = A * weights[:, None]
-    _, _, Vt = la_small.svd_cast(A, full_matrices=True)
-    x = Vt[-1]
+    x = la_small.min_eigvec_psd(A.T @ A)  # 18-dim nullspace vector
     Rpart = x[9:].reshape(3, 3)
     # fix the nullvector scale: ||R||_F = sqrt(3)
     lam = jnp.sqrt(3.0) / jnp.maximum(jnp.linalg.norm(Rpart), 1e-12)
@@ -198,7 +197,7 @@ def gep_17pt(va, fa, vb, fb, weights=None):
     Epart = x[:9].reshape(3, 3)
     Rpart = x[9:].reshape(3, 3)
     # project R to SO(3)
-    U, _, Vt2 = la_small.svd_cast(Rpart)
+    U, _, Vt2 = la_small.svd3x3(Rpart)
     d = jnp.sign(la_small.det33(U @ Vt2))
     D = jnp.asarray([1.0, 1.0, 0.0], x.dtype) + jnp.asarray([0.0, 0.0, 1.0], x.dtype) * d
     R = (U * D[None, :]) @ Vt2

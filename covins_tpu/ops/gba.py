@@ -112,9 +112,15 @@ def _retract_kf(pose, vel, bias, xi):
 # ---------------------------------------------------------------------------
 
 
-def _reproj_r_J(p: GBAProblem):
+def _reproj_r_J(p: GBAProblem, huber_k: float = 0.0):
     """Per-observation whitened residual (O, 2), J_pose (O, 2, 6),
-    J_lm (O, 2, 3)."""
+    J_lm (O, 2, 3).
+
+    ``huber_k > 0`` applies a Huber IRLS weight sqrt(min(1, k/||r||)) to
+    the whitened residual — the robust loss the reference attaches to GBA
+    reprojection terms during the outlier round (`optimization_be.cpp`,
+    Ceres `HuberLoss`; k ~ sqrt(chi2_95 two-dof) = 2.447 whitened units).
+    """
 
     def one(kf, lm, uv, w):
         pose = p.poses[kf]
@@ -135,6 +141,11 @@ def _reproj_r_J(p: GBAProblem):
         # a masked landmark's position is frozen, so leaving its residuals
         # active would bias the poses toward stale geometry.
         ww = w * valid * p.lm_mask[lm] * p.kf_mask[kf]
+        if huber_k > 0.0:
+            rn = jnp.linalg.norm(r * ww)
+            ww = ww * jnp.sqrt(
+                jnp.minimum(1.0, huber_k / jnp.maximum(rn, 1e-12))
+            )
         return r * ww, Jp * ww, Jl * ww
 
     return jax.vmap(one)(p.obs_kf, p.obs_lm, p.obs_uv,
@@ -200,7 +211,7 @@ def _loop_r_J(p: GBAProblem):
 # ---------------------------------------------------------------------------
 
 
-def _gn_schur_step(p: GBAProblem, state, lam, n_cg, visual_only):
+def _gn_schur_step(p: GBAProblem, state, lam, n_cg, visual_only, huber_k=0.0):
     """One Levenberg-Marquardt step with Schur landmark elimination.
 
     `lam` is the adaptive Marquardt parameter (multiplies the Hessian
@@ -224,7 +235,7 @@ def _gn_schur_step(p: GBAProblem, state, lam, n_cg, visual_only):
     )  # (N, 15)
     lm_free = p.lm_mask.astype(dtype)[:, None]  # (M, 1)
 
-    r_o, Jp_o, Jl_o = _reproj_r_J(pp)  # (O,2), (O,2,6), (O,2,3)
+    r_o, Jp_o, Jl_o = _reproj_r_J(pp, huber_k)  # (O,2), (O,2,6), (O,2,3)
     r_l, Ji_l, Jj_l = _loop_r_J(pp)  # (L,6), (L,6,6)x2
     if not visual_only:
         r_f, J_f = _imu_r_J(pp)  # (F,15), (F,15,30)
@@ -344,7 +355,7 @@ def _gn_schur_step(p: GBAProblem, state, lam, n_cg, visual_only):
         pt = dataclasses.replace(
             p, poses=st[0], vels=st[1], biases=st[2], lms=st[3]
         )
-        r_o2, _, _ = _reproj_r_J(pt)
+        r_o2, _, _ = _reproj_r_J(pt, huber_k)
         r_l2, _, _ = _loop_r_J(pt)
         c = jnp.sum(r_o2 * r_o2) + jnp.sum(r_l2 * r_l2)
         if not visual_only:
@@ -388,13 +399,13 @@ def _gn_schur_step(p: GBAProblem, state, lam, n_cg, visual_only):
     return out, lam_new, jnp.minimum(c_best, c_old)
 
 
-@partial(jax.jit, static_argnames=("n_gn", "n_cg", "visual_only"))
-def _gba_rounds(p: GBAProblem, n_gn, n_cg, lam0, visual_only):
+@partial(jax.jit, static_argnames=("n_gn", "n_cg", "visual_only", "huber_k"))
+def _gba_rounds(p: GBAProblem, n_gn, n_cg, lam0, visual_only, huber_k=0.0):
     state = (p.poses, p.vels, p.biases, p.lms)
 
     def step(carry, _):
         st, lam = carry
-        st, lam, cost = _gn_schur_step(p, st, lam, n_cg, visual_only)
+        st, lam, cost = _gn_schur_step(p, st, lam, n_cg, visual_only, huber_k)
         return (st, lam), cost
 
     (state, _), costs = jax.lax.scan(
@@ -405,14 +416,17 @@ def _gba_rounds(p: GBAProblem, n_gn, n_cg, lam0, visual_only):
 
 @partial(jax.jit, static_argnames=())
 def _reproj_outlier_mask(p: GBAProblem, threshold):
-    """Per-observation pruning at `th_gba_outlier_global` px on the
-    UNWEIGHTED pixel residual norm (`optimization_be.cpp:269-292`)."""
+    """Per-observation pruning at `th_gba_outlier_global` on the WHITENED
+    pixel residual norm — residual scaled by the octave sqrt-information
+    1/sigma, exactly the Ceres residual norm the reference thresholds
+    (`optimization_be.cpp:269-292` with `config_backend.yaml:118` = 0.92;
+    sigma = (octave+1)*2 px, so 0.92 whitened ~= 1.8-5 px raw)."""
 
-    def one(kf, lm, uv):
+    def one(kf, lm, uv, w):
         r, valid = res.reprojection_residual(p.cam, p.poses[kf], p.lms[lm], uv)
-        return jnp.linalg.norm(r), valid
+        return jnp.linalg.norm(r) * w, valid
 
-    norms, valid = jax.vmap(one)(p.obs_kf, p.obs_lm, p.obs_uv)
+    norms, valid = jax.vmap(one)(p.obs_kf, p.obs_lm, p.obs_uv, p.obs_w)
     return p.obs_mask & valid & (norms < threshold)
 
 
@@ -423,25 +437,44 @@ def global_bundle_adjustment(
     lam0: float = 1e-4,
     visual_only: bool = False,
     outlier_removal: bool = True,
-    th_outlier: float = 1.0,
+    th_outlier: float = 0.92,
     n_gn_round1: int = 5,
+    time_budget_s: float | None = None,
+    th_huber: float = 2.447,
 ):
     """Two-round VI-GBA mirroring `GlobalBundleAdjustment` semantics
     (round-1 short solve -> prune reprojection outliers -> round-2 full
-    solve, `optimization_be.cpp:56-618`).
+    solve, `optimization_be.cpp:56-618`).  `outlier_removal`/`visual_only`
+    mirror the `CallbackGBA` action codes (`backend.cpp:128-176`);
+    `time_budget_s` mirrors the solver time limit (`optimization_be.cpp:56-63`)
+    at dispatch granularity: if round 1 exhausted the budget, round 2 is
+    skipped (each round is one fixed-shape device dispatch here, not an
+    interruptible Ceres loop).
 
     Returns (problem with updated states, dict with costs + pruned count).
     """
+    import time as _time
+
+    t0 = _time.perf_counter()
     info = {}
     if outlier_removal:
+        # round 1 is Huber-robustified so gross outliers cannot drag the
+        # solution before they are identified (reference: Ceres HuberLoss
+        # on GBA reprojection factors); round 2 runs clean after pruning.
         (poses, vels, biases, lms), costs1 = _gba_rounds(
-            p, n_gn_round1, n_cg, lam0, visual_only
+            p, n_gn_round1, n_cg, lam0, visual_only, th_huber
         )
         p = dataclasses.replace(p, poses=poses, vels=vels, biases=biases, lms=lms)
         new_mask = _reproj_outlier_mask(p, th_outlier)
         info["n_pruned"] = int(jnp.sum(p.obs_mask & ~new_mask))
         info["round1_costs"] = costs1
         p = dataclasses.replace(p, obs_mask=new_mask)
+        if time_budget_s is not None:
+            jax.block_until_ready(p.poses)
+            if _time.perf_counter() - t0 > time_budget_s:
+                info["costs"] = costs1
+                info["time_budget_hit"] = True
+                return p, info
     (poses, vels, biases, lms), costs2 = _gba_rounds(
         p, n_gn, n_cg, lam0, visual_only
     )

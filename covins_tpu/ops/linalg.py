@@ -1,15 +1,23 @@
-"""TPU-safe small linear algebra.
+"""TPU-safe small linear algebra — NO LAPACK-style custom calls at all.
 
-XLA:TPU implements LU/SVD/Cholesky custom-calls only for f32 (the solver
-state here is f64, matching the reference's double precision,
-`typedefs_base.hpp:129`).  The solvers' decompositions are all SMALL and
-batched — 3x3 landmark blocks, 6x6 pose blocks, 15x15 keyframe-state
-blocks — so we unroll them in pure jnp primitives (elementwise + matmul),
-which XLA compiles for any dtype on any backend and fuses into the
-surrounding graph.  The only large decompositions (the 8pt/17pt nullspace
-SVDs) go through `svd_cast`, which drops to f32 *just for the SVD* on
-TPU — RANSAC model fitting tolerates f32 (pixel-scale thresholds), and
-everything before/after stays f64.
+The TPU backend in this deployment does not execute XLA's SVD/Eig custom
+calls (they hang at runtime, r04 finding; and LU/SVD/Cholesky custom calls
+only exist for f32 while the solver state is f64, matching the reference's
+double precision, `typedefs_base.hpp:129`).  Every decomposition here is
+therefore built from pure jnp primitives (elementwise + matmul) that XLA
+compiles for any dtype on any backend and fuses into the surrounding graph:
+
+* small SPD systems (3x3 landmark blocks, 6x6 pose blocks, 15x15 keyframe
+  states): unrolled Cholesky;
+* symmetric eigendecompositions (Horn 4x4 quaternion alignment, 3x3
+  singular pieces): unrolled cyclic Jacobi — quadratically convergent,
+  a handful of sweeps reaches machine precision;
+* nullspace vectors for the 8pt/17pt linear solvers: shifted inverse
+  iteration on A^T A via the unrolled Cholesky (the target eigenvalue is
+  ~0, so convergence is one or two applications);
+* 3x3 SVD (essential-matrix projection/decomposition, SO(3) projection):
+  closed composition of the Jacobi eigensolver on A^T A with a
+  cross-product-completed left basis.
 """
 
 from __future__ import annotations
@@ -33,7 +41,7 @@ def inv33(A):
     A21 = b * g - a * h
     A22 = a * e - b * d
     det = a * A00 + b * A10 + c * A20
-    det = jnp.where(jnp.abs(det) < 1e-300, 1e-300, det)
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
     adj = jnp.stack([
         jnp.stack([A00, A01, A02], -1),
         jnp.stack([A10, A11, A12], -1),
@@ -96,15 +104,120 @@ def inv_psd_small(A):
     return jnp.stack(cols, axis=-1)
 
 
-def svd_cast(A, full_matrices=True):
-    """SVD that works for f64 on TPU: decompose in f32 there (RANSAC
-    model fitting is threshold-driven; f32 singular vectors are ample),
-    native dtype elsewhere.  Returns (U, S, Vt) in A's dtype."""
-    if A.dtype == jnp.float64 and jax.default_backend() == "tpu":
-        U, S, Vt = jnp.linalg.svd(A.astype(jnp.float32),
-                                  full_matrices=full_matrices)
-        return U.astype(A.dtype), S.astype(A.dtype), Vt.astype(A.dtype)
-    return jnp.linalg.svd(A, full_matrices=full_matrices)
+def jacobi_eigh(A, sweeps: int = 8):
+    """Batched symmetric eigendecomposition by unrolled cyclic Jacobi.
+
+    A: (..., N, N) symmetric, N small & static.  Returns
+    ``(eigvals (..., N) ascending, eigvecs (..., N, N) columns)``.
+    Pure elementwise/matmul ops — lowers on any backend, any dtype.
+    """
+    n = A.shape[-1]
+    V = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
+    for _ in range(sweeps):
+        for p in range(n - 1):
+            for q in range(p + 1, n):
+                app = A[..., p, p]
+                aqq = A[..., q, q]
+                apq = A[..., p, q]
+                # Division-free rotation angle: tan(2 phi) = 2 apq/(aqq-app).
+                # atan2 is total, so no guard divisions that misbehave under
+                # the TPU backend's f64 emulation (theta = diff/(2 apq) went
+                # NaN there once off-diagonals converged to ~0).
+                small = jnp.abs(apq) <= 1e-14 * (jnp.abs(app) + jnp.abs(aqq))
+                phi = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
+                c = jnp.where(small, 1.0, jnp.cos(phi))[..., None]
+                s = jnp.where(small, 0.0, jnp.sin(phi))[..., None]
+                # rows
+                rp = c * A[..., p, :] - s * A[..., q, :]
+                rq = s * A[..., p, :] + c * A[..., q, :]
+                A = A.at[..., p, :].set(rp).at[..., q, :].set(rq)
+                # columns
+                cp = c * A[..., :, p] - s * A[..., :, q]
+                cq = s * A[..., :, p] + c * A[..., :, q]
+                A = A.at[..., :, p].set(cp).at[..., :, q].set(cq)
+                # accumulate eigenvectors
+                vp = c * V[..., :, p] - s * V[..., :, q]
+                vq = s * V[..., :, p] + c * V[..., :, q]
+                V = V.at[..., :, p].set(vp).at[..., :, q].set(vq)
+    w = jnp.diagonal(A, axis1=-2, axis2=-1)
+    order = jnp.argsort(w, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+    return w, V
+
+
+def min_eigvec_psd(M, iters: int = 4):
+    """Eigenvector of the smallest eigenvalue of a symmetric PSD matrix
+    (..., N, N) by shifted inverse iteration via the unrolled Cholesky.
+
+    Built for nullspace extraction (A^T A with lambda_min ~ 0): each solve
+    amplifies the target direction by ~lambda_1/shift, so a few iterations
+    reach machine precision.  Returns a unit vector (..., N).
+    """
+    n = M.shape[-1]
+    tr = jnp.trace(M, axis1=-2, axis2=-1)
+    shift = (1e-10 * tr + 1e-30)[..., None, None]
+    Ms = M + shift * jnp.eye(n, dtype=M.dtype)
+    L = cholesky_small(Ms, eps=1e-30)
+    # deterministic full-rank-ish start (not orthogonal to anything in
+    # practice; RANSAC scoring discards pathological hypotheses anyway)
+    x = jnp.ones(M.shape[:-1], M.dtype) + 1e-3 * jnp.arange(n, dtype=M.dtype)
+    for _ in range(iters):
+        x = _solve_triu_t(L, _solve_tril(L, x))
+        x = x / jnp.maximum(
+            jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-30
+        )
+    return x
+
+
+def _orthogonal_unit(u):
+    """Some unit vector orthogonal to unit vector u (..., 3)."""
+    ex = jnp.zeros_like(u).at[..., 0].set(1.0)
+    ey = jnp.zeros_like(u).at[..., 1].set(1.0)
+    c = jnp.cross(u, ex)
+    alt = jnp.cross(u, ey)
+    n1 = jnp.linalg.norm(c, axis=-1, keepdims=True)
+    use_alt = n1 < 1e-6
+    c = jnp.where(use_alt, alt, c)
+    return c / jnp.maximum(jnp.linalg.norm(c, axis=-1, keepdims=True), 1e-30)
+
+
+def svd3x3(A, sweeps: int = 8):
+    """Batched 3x3 SVD without LAPACK: eigendecompose A^T A by Jacobi,
+    recover the left basis by applying A and completing with cross
+    products.  Returns (U (..., 3, 3), S (..., 3) descending >= 0,
+    Vt (..., 3, 3)); A = U @ diag(S') @ Vt where S' = S up to the sign of
+    the smallest singular value when det(A) < 0 (standard ambiguity —
+    callers here only use U/Vt for projections and handle det signs
+    themselves, exactly as they would with LAPACK output).
+    """
+    M = jnp.swapaxes(A, -1, -2) @ A
+    w, V = jacobi_eigh(M, sweeps=sweeps)
+    # descending
+    w = w[..., ::-1]
+    V = V[..., ::-1]
+    S = jnp.sqrt(jnp.maximum(w, 0.0))
+    AV = A @ V  # columns = s_i u_i
+    eps = 1e-12 * (1.0 + S[..., :1])
+    # u0
+    u0 = AV[..., :, 0]
+    n0 = jnp.linalg.norm(u0, axis=-1, keepdims=True)
+    u0 = jnp.where(n0 > eps, u0 / jnp.maximum(n0, 1e-30),
+                   jnp.zeros_like(u0).at[..., 0].set(1.0))
+    # u1: Gram-Schmidt against u0, fallback to any orthogonal direction
+    u1 = AV[..., :, 1]
+    u1 = u1 - jnp.sum(u1 * u0, -1, keepdims=True) * u0
+    n1 = jnp.linalg.norm(u1, axis=-1, keepdims=True)
+    u1 = jnp.where(n1 > eps, u1 / jnp.maximum(n1, 1e-30), _orthogonal_unit(u0))
+    # u2: complete the right-handed frame; flip sign to match A v2 when
+    # it is observable so that A ~= U S Vt holds for full-rank inputs.
+    u2 = jnp.cross(u0, u1)
+    a2 = AV[..., :, 2]
+    d2 = jnp.sum(a2 * u2, -1, keepdims=True)
+    flip = jnp.where(jnp.abs(d2) > eps, jnp.sign(d2), 1.0)
+    u2 = u2 * flip
+    U = jnp.stack([u0, u1, u2], axis=-1)
+    return U, S, jnp.swapaxes(V, -1, -2)
 
 
 def det33(A):

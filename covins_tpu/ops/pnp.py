@@ -63,7 +63,7 @@ def p3p_grunert(points_w, bearings):
 
     roots, is_real = poly.solve_quartic(A4, A3, A2, A1, A0)
     coeffs = jnp.stack([A4, A3, A2, A1, A0]).astype(dtype)
-    v = poly.polish_real_roots(coeffs, jnp.real(roots).astype(dtype))  # (4,)
+    v = poly.polish_real_roots(coeffs, roots.astype(dtype))  # (4,) real
 
     # Haralick's quartic unknown is v = s3/s1 (tied to side b / angle beta):
     #   s1^2 (1 + v^2 - 2 v cos(beta)) = b^2

@@ -2,97 +2,162 @@
 
 Minimal-solver kernels (P3P) need quartic roots inside `vmap`/`jit`.  XLA on
 TPU has no general eigensolver, so the usual companion-matrix trick is out;
-instead we solve in closed form (Cardano/Ferrari) with complex arithmetic —
-branch-free, fully batched, differentiable almost everywhere.
+instead we solve in closed form — and, critically, in **pure real
+arithmetic**: the TPU backend does not lower complex128 (f64 -> c128 CVT
+aborts in x64_rewriter), so the Cardano/Ferrari formulas are written with
+trigonometric / hyperbolic branches selected by `jnp.where`.  Branch-free at
+the XLA level (both branches are computed, one is selected), fully batched.
 
-All solvers take coefficient arrays with a trailing coefficient axis and
-return ``(roots, is_real)`` where ``roots`` is complex with a trailing root
-axis and ``is_real`` flags roots whose imaginary part is negligible.
+All solvers return ``(roots, is_real)`` where ``roots`` is a **real** array
+with a trailing root axis and ``is_real`` flags genuinely real roots.  For a
+complex-conjugate pair the returned value is the pair's real part with
+``is_real = False`` — callers mask on the flag.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-_REAL_TOL = 1e-6
+_REAL_TOL = 1e-9
 
 
-def _cplx(x):
-    return x.astype(jnp.complex128) if x.dtype == jnp.float64 else x.astype(jnp.complex64)
+def _safe(x, eps=1e-30):
+    return jnp.where(jnp.abs(x) < eps, jnp.where(x < 0, -eps, eps), x)
+
+
+def _cbrt(x):
+    """Real signed cube root (jnp.cbrt exists but route through sign/abs to
+    be robust for all dtypes)."""
+    return jnp.sign(x) * jnp.abs(x) ** (1.0 / 3.0)
 
 
 def solve_quadratic(a, b, c):
-    """a x^2 + b x + c = 0 -> roots (..., 2) complex."""
-    a, b, c = _cplx(a), _cplx(b), _cplx(c)
-    disc = jnp.sqrt(b * b - 4.0 * a * c)
-    # Numerically stable form: q = -(b + sign(Re(b)) * disc) / 2
-    sgn = jnp.where(jnp.real(b) >= 0, 1.0, -1.0)
-    q = -0.5 * (b + sgn * disc)
-    a_safe = jnp.where(jnp.abs(a) < 1e-30, 1e-30, a)
-    q_safe = jnp.where(jnp.abs(q) < 1e-30, 1e-30, q)
-    return jnp.stack([q / a_safe, c / q_safe], axis=-1)
+    """a x^2 + b x + c = 0 -> (roots (..., 2) real, is_real (..., 2)).
+
+    Numerically stable citardauq form.  For a complex pair the real part
+    -b/(2a) is returned in both slots with is_real=False.
+    """
+    a = jnp.asarray(a)
+    disc = b * b - 4.0 * a * c
+    scale = b * b + jnp.abs(4.0 * a * c)
+    real = disc >= -_REAL_TOL * scale
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sgn = jnp.where(b >= 0, 1.0, -1.0)
+    q = -0.5 * (b + sgn * sq)
+    r0 = q / _safe(a)
+    r1 = c / _safe(q)
+    # Degenerate a ~ 0: linear bx + c = 0.
+    lin = jnp.abs(a) < 1e-30
+    rl = -c / _safe(b)
+    r0 = jnp.where(lin, rl, r0)
+    r1 = jnp.where(lin, rl, r1)
+    # Complex pair -> return shared real part.
+    ctr = -b / (2.0 * _safe(a))
+    r0 = jnp.where(real, r0, ctr)
+    r1 = jnp.where(real, r1, ctr)
+    roots = jnp.stack([r0, r1], axis=-1)
+    return roots, jnp.broadcast_to(real[..., None], roots.shape)
 
 
 def solve_cubic(a, b, c, d):
-    """a x^3 + b x^2 + c x + d = 0 -> roots (..., 3) complex (Cardano)."""
-    a, b, c, d = _cplx(a), _cplx(b), _cplx(c), _cplx(d)
-    a_safe = jnp.where(jnp.abs(a) < 1e-30, 1e-30, a)
-    b, c, d = b / a_safe, c / a_safe, d / a_safe
-    # Depress: x = t - b/3
+    """a x^3 + b x^2 + c x + d = 0 -> (roots (..., 3) real, is_real (..., 3)).
+
+    Trigonometric branch (three real roots) / Cardano branch (one real root
+    plus a conjugate pair, whose shared real part fills the other two slots
+    with is_real=False).  Pure real arithmetic; TPU-lowerable.
+    """
+    a = jnp.asarray(a)
+    a_s = _safe(a)
+    b, c, d = b / a_s, c / a_s, d / a_s
+    # Depress: x = t - b/3  ->  t^3 + p t + q
     p = c - b * b / 3.0
     q = 2.0 * b**3 / 27.0 - b * c / 3.0 + d
-    disc = jnp.sqrt((q / 2.0) ** 2 + (p / 3.0) ** 3)
-    # Choose the u-branch with larger magnitude for stability.
-    u3a = -q / 2.0 + disc
-    u3b = -q / 2.0 - disc
-    u3 = jnp.where(jnp.abs(u3a) >= jnp.abs(u3b), u3a, u3b)
-    u = u3 ** (1.0 / 3.0)
-    u = jnp.where(jnp.abs(u) < 1e-30, 1e-30, u)
-    v = -p / (3.0 * u)
-    omega = jnp.asarray(-0.5 + 0.8660254037844386j, u.dtype)
+    half_q = 0.5 * q
+    third_p = p / 3.0
+    disc = half_q * half_q + third_p**3  # >0: one real root
+
+    # --- trig branch (disc <= 0, so p <= 0): t_k = 2r cos(phi - 2 pi k / 3)
+    r = jnp.sqrt(jnp.maximum(-third_p, 0.0))
+    r3 = jnp.maximum(r**3, 1e-30)
+    cos3phi = jnp.clip(-half_q / r3, -1.0, 1.0)
+    phi = jnp.arccos(cos3phi) / 3.0
+    two_pi_3 = 2.0943951023931953
+    t_trig = jnp.stack(
+        [2.0 * r * jnp.cos(phi - two_pi_3 * k) for k in range(3)], axis=-1
+    )
+
+    # --- Cardano branch (disc > 0): one real root u + v
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    u = _cbrt(-half_q + sq)
+    v = _cbrt(-half_q - sq)
     t0 = u + v
-    t1 = u * omega + v / omega
-    t2 = u / omega + v * omega
-    return jnp.stack([t0, t1, t2], axis=-1) - b[..., None] / 3.0
+    pair_re = -0.5 * t0  # real part of the conjugate pair
+    t_card = jnp.stack([t0, pair_re, pair_re], axis=-1)
+
+    three_real = (disc <= 0.0)[..., None]
+    roots = jnp.where(three_real, t_trig, t_card) - (b / 3.0)[..., None]
+    is_real = three_real | (jnp.arange(3) == 0)
+    return roots, jnp.broadcast_to(is_real, roots.shape)
 
 
 def solve_quartic(a, b, c, d, e):
-    """a x^4 + b x^3 + c x^2 + d x + e = 0 -> (roots (..., 4) complex,
-    is_real (..., 4) bool).  Ferrari's method via the resolvent cubic."""
-    a, b, c, d, e = _cplx(a), _cplx(b), _cplx(c), _cplx(d), _cplx(e)
-    a_safe = jnp.where(jnp.abs(a) < 1e-30, 1e-30, a)
-    b, c, d, e = b / a_safe, c / a_safe, d / a_safe, e / a_safe
-    # Depress: x = y - b/4
+    """a x^4 + b x^3 + c x^2 + d x + e = 0 -> (roots (..., 4) real,
+    is_real (..., 4) bool).  Ferrari's method via the resolvent cubic, in
+    pure real arithmetic (matches the role of the quartic inside the
+    reference's OpenGV P3P, `Se3Solver.cpp:59-110`, without complex dtypes
+    that the TPU backend cannot lower)."""
+    a = jnp.asarray(a)
+    a_s = _safe(a)
+    b, c, d, e = b / a_s, c / a_s, d / a_s, e / a_s
+    # Depress: x = y - b/4  ->  y^4 + p y^2 + q y + r
     p = c - 3.0 * b * b / 8.0
     q = d - b * c / 2.0 + b**3 / 8.0
     r = e - b * d / 4.0 + b * b * c / 16.0 - 3.0 * b**4 / 256.0
 
-    # Resolvent cubic: 8 m^3 + 8 p m^2 + (2 p^2 - 8 r) m - q^2 = 0
-    m_roots = solve_cubic(
+    # Resolvent cubic: 8 m^3 + 8 p m^2 + (2 p^2 - 8 r) m - q^2 = 0.
+    # g(0) = -q^2 <= 0 and g(+inf) = +inf, so the largest real root m* >= 0
+    # whenever q != 0; we select it (divide by sqrt(2 m) and 4 m below).
+    m_roots, m_real = solve_cubic(
         jnp.full_like(p, 8.0), 8.0 * p, 2.0 * p * p - 8.0 * r, -q * q
     )
-    # Pick the root with the largest |2m| (stability: we divide by sqrt(2m)
-    # and by 4m below).  Any root works analytically.
-    mag = jnp.abs(m_roots)
-    m = jnp.take_along_axis(m_roots, jnp.argmax(mag, axis=-1)[..., None], -1)[..., 0]
-    m = jnp.where(jnp.abs(m) < 1e-30, 1e-30, m)
-    s = jnp.sqrt(2.0 * m)
-    s = jnp.where(jnp.abs(s) < 1e-30, 1e-30, s)
-    # y^2 - s y + (p/2 + m + s q / (4 m)) = 0  and  the s -> -s twin.
-    t = q / (2.0 * s)  # = s q / (4 m)
+    m = jnp.max(jnp.where(m_real, m_roots, -jnp.inf), axis=-1)
+    two_m = jnp.maximum(2.0 * m, 0.0)
+    s = jnp.sqrt(two_m)
+
+    # Ferrari split: (y^2 - s y + p/2 + m + t)(y^2 + s y + p/2 + m - t)
+    # with t = q / (2 s).
+    t = q / _safe(2.0 * s, 1e-30)
     c1 = p / 2.0 + m + t
     c2 = p / 2.0 + m - t
-    one = jnp.ones_like(s)
-    r12 = solve_quadratic(one, -s, c1)
-    r34 = solve_quadratic(one, s, c2)
-    roots = jnp.concatenate([r12, r34], axis=-1) - b[..., None] / 4.0
-    scale = 1.0 + jnp.abs(jnp.real(roots))
-    is_real = jnp.abs(jnp.imag(roots)) < _REAL_TOL * scale
+    d1 = s * s - 4.0 * c1
+    d2 = s * s - 4.0 * c2
+    sc1 = s * s + jnp.abs(4.0 * c1)
+    sc2 = s * s + jnp.abs(4.0 * c2)
+    real1 = d1 >= -_REAL_TOL * (1.0 + sc1)
+    real2 = d2 >= -_REAL_TOL * (1.0 + sc2)
+    sq1 = jnp.sqrt(jnp.maximum(d1, 0.0))
+    sq2 = jnp.sqrt(jnp.maximum(d2, 0.0))
+    f_roots = jnp.stack(
+        [0.5 * (s + sq1), 0.5 * (s - sq1), 0.5 * (-s + sq2), 0.5 * (-s - sq2)],
+        axis=-1,
+    )
+    f_real = jnp.stack([real1, real1, real2, real2], axis=-1)
+
+    # Degenerate s ~ 0 (q ~ 0): biquadratic z^2 + p z + r = 0, y = +-sqrt(z).
+    z, z_real = solve_quadratic(jnp.ones_like(p), p, r)
+    z_ok = z_real & (z >= 0.0)
+    zs = jnp.sqrt(jnp.maximum(z, 0.0))
+    b_roots = jnp.concatenate([zs, -zs], axis=-1)  # (z0, z1, -z0, -z1)
+    b_real = jnp.concatenate([z_ok, z_ok], axis=-1)
+
+    use_biquad = (two_m < 1e-12 * (1.0 + jnp.abs(p) + jnp.abs(r)))[..., None]
+    roots = jnp.where(use_biquad, b_roots, f_roots) - (b / 4.0)[..., None]
+    is_real = jnp.where(use_biquad, b_real, f_real)
     return roots, is_real
 
 
-def polish_real_roots(coeffs, roots, iters: int = 2):
-    """Newton-polish real parts of roots against the full polynomial.
+def polish_real_roots(coeffs, roots, iters: int = 3):
+    """Newton-polish real roots against the full polynomial.
 
     coeffs: (..., D+1) highest-degree first; roots: (..., R) real.
     """

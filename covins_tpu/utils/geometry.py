@@ -314,6 +314,12 @@ def normalize_angle(a):
 def umeyama_alignment(src, dst, weights=None, with_scale=True):
     """Least-squares similarity transform aligning ``src`` -> ``dst``.
 
+    Horn's closed-form quaternion method (Horn 1987): the optimal rotation
+    is the top eigenvector of the 4x4 symmetric N-matrix built from the
+    weighted cross-correlation — solved by the unrolled Jacobi eigensolver,
+    because this TPU backend executes no LAPACK-style custom calls (no SVD).
+    Always yields a PROPER rotation (no reflection-sign bookkeeping).
+
     Args:
       src, dst: (N, 3) point sets.
       weights: optional (N,) nonnegative weights (masked points get 0).
@@ -330,20 +336,30 @@ def umeyama_alignment(src, dst, weights=None, with_scale=True):
     mu_d = jnp.sum(w * dst, axis=0)
     xs = src - mu_s
     xd = dst - mu_d
-    cov = (w * xd).T @ xs  # 3x3
-    from covins_tpu.ops.linalg import det33, svd_cast
-    U, D, Vt = svd_cast(cov)
-    d = jnp.sign(det33(U) * det33(Vt))
-    S = jnp.diag(jnp.array([1.0, 1.0, 0.0], src.dtype)) + jnp.diag(
-        jnp.array([0.0, 0.0, 1.0], src.dtype) * d
-    )
-    R = U @ S @ Vt
+    # Horn's S-matrix: S_ab = sum_i w_i xs_i[a] xd_i[b]  (src x dst)
+    S = (w * xs).T @ xd  # 3x3
+    Sxx, Sxy, Sxz = S[0, 0], S[0, 1], S[0, 2]
+    Syx, Syy, Syz = S[1, 0], S[1, 1], S[1, 2]
+    Szx, Szy, Szz = S[2, 0], S[2, 1], S[2, 2]
+    N = jnp.stack([
+        jnp.stack([Sxx + Syy + Szz, Syz - Szy, Szx - Sxz, Sxy - Syx]),
+        jnp.stack([Syz - Szy, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz]),
+        jnp.stack([Szx - Sxz, Sxy + Syx, -Sxx + Syy - Szz, Syz + Szy]),
+        jnp.stack([Sxy - Syx, Szx + Sxz, Syz + Szy, -Sxx - Syy + Szz]),
+    ])
+    from covins_tpu.ops.linalg import jacobi_eigh
+    evals, evecs = jacobi_eigh(N)  # ascending
+    q = evecs[:, -1]  # (w, x, y, z), rotates src into dst
+    q = q * jnp.where(q[0] >= 0, 1.0, -1.0)
+    q = q / jnp.maximum(jnp.linalg.norm(q), 1e-30)
+    R = quat_to_matrix(q)
     var_s = jnp.sum(w * xs * xs)
+    # Horn: sum_i w_i xd_i . (R xs_i) equals the top eigenvalue of N.
     scale = jnp.where(
-        with_scale, jnp.sum(D * jnp.diagonal(S)) / jnp.maximum(var_s, 1e-12), 1.0
+        with_scale, evals[-1] / jnp.maximum(var_s, 1e-12), 1.0
     ).astype(src.dtype)
     t = mu_d - scale * (R @ mu_s)
-    return jnp.concatenate([matrix_to_quat(R), t, scale[None]], axis=-1)
+    return jnp.concatenate([q, t, scale[None]], axis=-1)
 
 
 def ate_rmse(est, gt, weights=None, align_scale=True):

@@ -128,19 +128,44 @@ def test_gba_visual_only():
 
 
 def test_gba_outlier_pruning():
-    p, traj, lms_gt = _build_problem(px_noise=0.2)
-    # corrupt 5% of observations by 30 px
+    """Reference semantics (r03 VERDICT #3): the WHITENED residual norm is
+    pruned at `th_gba_outlier_global` = 0.92 (`config_backend.yaml:118`,
+    `optimization_be.cpp:269-292`) — planted gross outliers are pruned,
+    and (essentially) only they.  Starts from the unperturbed state so the
+    pruning decision is isolated from round-1 convergence quality (a small
+    tail of poorly-observed landmarks converges slowly from a perturbed
+    start regardless of outliers)."""
+    p, traj, lms_gt = _build_problem(px_noise=0.2, perturb=False)
+    # corrupt 5% of observations by ~30 px (whitened ~15 >> 0.92)
     n_obs = p.obs_uv.shape[0]
     n_bad = n_obs // 20
     key = jax.random.PRNGKey(42)
-    bad_uv = p.obs_uv.at[:n_bad].add(
-        30.0 * jax.random.normal(key, (n_bad, 2), p.obs_uv.dtype)
-    )
+    offs = 30.0 * jax.random.normal(key, (n_bad, 2), p.obs_uv.dtype)
+    # keep every planted offset genuinely gross (>= 10 px)
+    nrm = jnp.linalg.norm(offs, axis=-1, keepdims=True)
+    offs = offs / jnp.maximum(nrm, 1e-9) * jnp.maximum(nrm, 10.0)
+    bad_uv = p.obs_uv.at[:n_bad].add(offs)
     p = dataclasses.replace(p, obs_uv=bad_uv)
     p2, info = gba.global_bundle_adjustment(
-        p, n_gn=6, n_cg=50, outlier_removal=True, th_outlier=4.0
+        p, n_gn=6, n_cg=50, outlier_removal=True, th_outlier=0.92
     )
-    assert info["n_pruned"] >= int(0.7 * n_bad)
+    pruned = np.asarray(p.obs_mask) & ~np.asarray(p2.obs_mask)
+    assert pruned[:n_bad].sum() >= int(0.9 * n_bad), "gross outliers survive"
+    # Clean observations of UNcontaminated landmarks (0.2 px noise,
+    # whitened 0.1 << 0.92) must be kept.  Clean observations sharing a
+    # landmark with a planted outlier may legitimately fall to pruning
+    # (the dragged landmark inflates their residual — the reference's
+    # threshold pass behaves the same way).
+    obs_lm = np.asarray(p.obs_lm)
+    dirty_lms = set(obs_lm[:n_bad].tolist())
+    clean_of_clean = np.array(
+        [lm not in dirty_lms for lm in obs_lm[n_bad:]], bool
+    )
+    wrongly = (pruned[n_bad:] & clean_of_clean).sum()
+    assert wrongly <= max(2, int(0.01 * clean_of_clean.sum())), (
+        f"{wrongly} clean observations of clean landmarks wrongly pruned"
+    )
+    assert info["n_pruned"] == int(pruned.sum())
     assert _pose_ate(p2.poses, traj.poses) < 0.02
 
 

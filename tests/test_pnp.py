@@ -33,11 +33,57 @@ def test_cubic_batched():
     key = jax.random.PRNGKey(0)
     c = jax.random.normal(key, (64, 4), dtype=jnp.float64)
     c = c.at[:, 0].set(jnp.where(jnp.abs(c[:, 0]) < 0.1, 1.0, c[:, 0]))
-    roots = poly.solve_cubic(c[:, 0], c[:, 1], c[:, 2], c[:, 3])
-    # every returned root satisfies the polynomial
+    roots, is_real = poly.solve_cubic(c[:, 0], c[:, 1], c[:, 2], c[:, 3])
+    # every flagged-real root satisfies the polynomial
     x = roots
     val = ((c[:, 0:1] * x + c[:, 1:2]) * x + c[:, 2:3]) * x + c[:, 3:4]
+    val = jnp.where(is_real, val, 0.0)
     assert np.max(np.abs(np.asarray(val))) < 1e-6
+    # a cubic always has at least one real root
+    assert np.asarray(is_real).any(axis=-1).all()
+
+
+def test_quartic_fuzz_vs_numpy():
+    """Random quartics: every flagged-real root matches a numpy.roots real
+    root; every numpy real root is recovered by some flagged-real root."""
+    rng = np.random.default_rng(3)
+    coefs = rng.normal(size=(256, 5))
+    coefs[:, 0] = np.where(np.abs(coefs[:, 0]) < 0.1, 1.0, coefs[:, 0])
+    c = [jnp.asarray(coefs[:, i], jnp.float64) for i in range(5)]
+    roots, is_real = poly.solve_quartic(*c)
+    roots = poly.polish_real_roots(
+        jnp.stack(c, axis=-1), roots
+    )
+    roots = np.asarray(roots)
+    is_real = np.asarray(is_real)
+    for i in range(coefs.shape[0]):
+        np_roots = np.roots(coefs[i])
+        np_real = np.sort(
+            np.real(np_roots[np.abs(np.imag(np_roots)) < 1e-8])
+        )
+        ours = np.sort(roots[i][is_real[i]])
+        assert len(ours) == len(np_real), f"poly {i}: {ours} vs {np_real}"
+        if len(np_real):
+            scale = 1.0 + np.max(np.abs(np_real))
+            np.testing.assert_allclose(ours, np_real, atol=1e-6 * scale)
+
+
+def test_no_complex_in_lowered_ransac():
+    """TPU regression (r03 VERDICT #1): the loop-verification path must not
+    contain ANY complex dtype in its lowered HLO under x64 — f64->c128 CVT
+    aborts the TPU backend (x64_rewriter).  We assert on the StableHLO text
+    of the exact entry point the server calls."""
+    key = jax.random.PRNGKey(0)
+    pts = jnp.zeros((40, 3), jnp.float64)
+    brs = jnp.zeros((40, 3), jnp.float64)
+    mask = jnp.ones((40,), bool)
+    lowered = jax.jit(
+        lambda k: pnp.absolute_pose_ransac(
+            k, pts, brs, mask, n_hypotheses=32, threshold_rad=0.006
+        )
+    ).lower(key)
+    txt = lowered.as_text()
+    assert "complex<" not in txt, "complex dtype leaked into the P3P path"
 
 
 def _random_scene(key, n=50):
