@@ -89,6 +89,10 @@ def cmd_admin(args):
         kw["max_num_kfs"] = args.max_num_kfs
     if args.visual_only:
         kw["visual_only"] = True
+    if args.no_outlier_removal:
+        kw["outlier_removal"] = False
+    if args.time_budget is not None:
+        kw["time_budget_s"] = args.time_budget
     if args.placerec_replay:
         kw["placerec_replay"] = True
         kw["run_pgo"] = not args.no_pgo
@@ -160,8 +164,8 @@ def main(argv=None):
                         "(comm.send_updates plane)")
     a.set_defaults(fn=cmd_agent)
 
-    d = sub.add_parser("admin", help="admin verbs (gba/pgo/savemap/loadmap/prunemap/stats)")
-    d.add_argument("verb", choices=["gba", "pgo", "savemap", "loadmap",
+    d = sub.add_parser("admin", help="admin verbs (gba/pgo/savemap/loadmap/prunemap/stats/snapshot)")
+    d.add_argument("verb", choices=["gba", "pgo", "savemap", "loadmap", "snapshot",
                                     "prunemap", "stats"])
     d.add_argument("--host", default="127.0.0.1")
     d.add_argument("--port", type=int, default=9871)
@@ -169,6 +173,11 @@ def main(argv=None):
     d.add_argument("--path")
     d.add_argument("--max-num-kfs", type=int, default=None)
     d.add_argument("--visual-only", action="store_true")
+    d.add_argument("--no-outlier-removal", action="store_true",
+                   help="gba: skip the outlier round (CallbackGBA action "
+                        "code, backend.cpp:128-176)")
+    d.add_argument("--time-budget", type=float, default=None,
+                   help="gba: solver wall-clock budget in seconds")
     d.add_argument("--placerec-replay", action="store_true",
                    help="loadmap: replay keyframes through place "
                         "recognition (backend.cpp:247-283)")

@@ -101,6 +101,7 @@ class CovinsServer:
                                                 self.cfg)
                             self.sessions[client_id] = sess
                         sess.ingest_many(window)
+                    self._maybe_export_snapshots()
                 elif kind == "finish":
                     client_id = payload
                     sess = self.sessions.get(client_id)
@@ -124,6 +125,36 @@ class CovinsServer:
             finally:
                 if done is not None:
                     done.set()
+
+    def _maybe_export_snapshots(self):
+        """Periodic headless visualization export: the product-facing
+        equivalent of the reference's Visualizer polling thread redrawing
+        after every comm iteration (`visualization_be.cpp:46-61,472-498`,
+        `communicator_be.cpp:246`).  Gated by `vis.active`; writes one
+        JSON VisBundle per map every `vis.snapshot_interval_kf` ingested
+        keyframes.  Plot with e.g.:
+          python -c "import json,matplotlib.pyplot as p; s=json.load(open(
+          'output/vis_map1.json')); [p.plot(*zip(*[(x[4],x[5]) for x in
+          a['poses']]), color=a['color']) for a in s['agents'].values()];
+          p.savefig('map.png')"
+        """
+        if not getattr(self.cfg, "vis_active", False):
+            return
+        from covins_tpu.io import export as vis_export
+
+        total = sum(s.stats["keyframes"] for s in self.sessions.values())
+        last = getattr(self, "_vis_last_kf", 0)
+        if total - last < self.cfg.vis_snapshot_interval_kf:
+            return
+        self._vis_last_kf = total
+        import os
+
+        os.makedirs(self.output_dir, exist_ok=True)
+        for mid, mp in self.manager.maps.items():
+            vis_export.write_snapshot(
+                mp, f"{self.output_dir}/vis_map{mid}.json",
+                covis_thres=self.cfg.covis_thres,
+            )
 
     def _collect_for_agent(self, client_id: int):
         """`Communicator::CollectDataForAgent` (`communicator_be.cpp:51-69`):
@@ -203,6 +234,27 @@ class CovinsServer:
                 target_kf_count=cmd.get("max_num_kfs"),
             )
             return {"ok": True, "removed": removed}
+        if verb == "snapshot":
+            # on-demand visualization export (`Visualizer::DrawMap` role,
+            # `visualization_be.cpp:472-498`) — writes the VisBundle JSON
+            # for one map (or every map) and returns the paths
+            from covins_tpu.io import export as vis_export
+            import os
+
+            os.makedirs(self.output_dir, exist_ok=True)
+            ids = ([int(cmd["map_id"])] if "map_id" in cmd
+                   else sorted(self.manager.maps))
+            paths = []
+            for mid in ids:
+                if mid not in self.manager.maps:
+                    return {"ok": False, "error": f"no map {mid}"}
+                path = cmd.get("path", f"{self.output_dir}/vis_map{mid}.json")
+                vis_export.write_snapshot(
+                    self.manager.maps[mid], path,
+                    covis_thres=self.cfg.covis_thres,
+                )
+                paths.append(path)
+            return {"ok": True, "paths": paths}
         if verb == "stats":
             return {
                 "ok": True,

@@ -77,7 +77,21 @@ class MapManager:
         return self.maps[self.map_of_client[client_id]]
 
     def resolve(self, kf_id: tuple) -> Tuple[Optional[Map], int]:
-        """kf id -> (map, row) across all registered maps."""
+        """kf id -> (map, row) across all registered maps.
+
+        O(1) in the common case: a keyframe id is (kf, client), and the
+        owning client's map (kept current across merges by
+        `map_of_client`) almost always holds it — each map's `kf_row` is
+        itself a dict lookup.  The scan fallback only runs for keyframes
+        of de-registered clients (e.g. loaded maps with no live session).
+        """
+        mid = self.map_of_client.get(int(kf_id[1]))
+        if mid is not None:
+            mp = self.maps.get(mid)
+            if mp is not None:
+                row = mp.kf_row(kf_id)
+                if row >= 0:
+                    return mp, row
         for mp in self.maps.values():
             row = mp.kf_row(kf_id)
             if row >= 0:

@@ -122,6 +122,9 @@ class Map:
         self.lm_normal = np.zeros((m, 3), np.float64)
         self.lm_first_kf = np.full(m, -1, np.int32)
         self.lm_optimized = np.zeros(m, bool)  # Landmark::IsOptimized gate
+        # scale-invariance distance range [min, max] per landmark
+        # (`landmark_base.cpp:68-133`); (0, 0) = unknown, no gating
+        self.lm_dist_rng = np.zeros((m, 2), np.float64)
 
         # --- observation COO -------------------------------------------------
         o = obs_capacity
@@ -197,7 +200,7 @@ class Map:
         new = max(2 * cap, n)
         for name in (
             "lm_ids", "lm_pos", "lm_ref", "lm_mask", "lm_desc", "lm_normal",
-            "lm_first_kf", "lm_optimized",
+            "lm_first_kf", "lm_optimized", "lm_dist_rng",
         ):
             setattr(self, name, _grow(getattr(self, name), new))
         self.lm_ids[self.n_lm:] = -1
@@ -632,8 +635,10 @@ class Map:
             other.kf_feat_lm[:nk] >= 0, other.kf_feat_lm[:nk] + lm_off, -1
         )
 
-        # landmarks
-        for name in ("lm_ids", "lm_mask", "lm_desc", "lm_optimized"):
+        # landmarks (distance ranges carry over: the merge transform is
+        # SE(3), so observation distances are preserved)
+        for name in ("lm_ids", "lm_mask", "lm_desc", "lm_optimized",
+                     "lm_dist_rng"):
             getattr(self, name)[lm_off : lm_off + nl] = getattr(other, name)[:nl]
         self.lm_pos[lm_off : lm_off + nl] = np.asarray(
             geo.sim3_apply(
@@ -699,7 +704,7 @@ class Map:
                 arrays[name] = getattr(self, name)[: self.n_kf]
         for name in (
             "lm_ids", "lm_pos", "lm_ref", "lm_mask", "lm_desc",
-            "lm_normal", "lm_first_kf", "lm_optimized",
+            "lm_normal", "lm_first_kf", "lm_optimized", "lm_dist_rng",
         ):
             arrays[name] = getattr(self, name)[: self.n_lm]
         for name in ("obs_kf", "obs_lm", "obs_feat", "obs_mask"):
@@ -1113,6 +1118,7 @@ class Map:
             bucket *= 2
         descs = np.zeros((bucket, max_obs_pad, self.desc_bytes), self.desc_dtype)
         centers = np.zeros((bucket, max_obs_pad, 3), np.float64)
+        octaves = np.zeros((bucket, max_obs_pad), np.float64)
         mask = np.zeros((bucket, max_obs_pad), bool)
         # vectorized cohort gather: one pass over the obs COO instead of a
         # per-landmark scan (O(n_obs) total, not O(cohort * n_obs))
@@ -1132,6 +1138,7 @@ class Map:
             kr, ft = self.obs_kf[idx], self.obs_feat[idx]
             descs[ci, slots] = self.descriptors[kr, ft]
             centers[ci, slots] = self.kf_pose[kr, 4:7]
+            octaves[ci, slots] = self.kp_aors[kr, ft, 1]
             mask[ci, slots] = True
         lm_pos_pad = np.zeros((bucket, 3), np.float64)
         lm_pos_pad[:n_rows] = self.lm_pos[lm_rows]
@@ -1146,10 +1153,17 @@ class Map:
                 jnp.asarray(mask, jnp.float64),
             )
         )[:n_rows]
+        rng = np.asarray(
+            landmark_ops.distance_invariance(
+                jnp.asarray(lm_pos_pad), jnp.asarray(centers),
+                jnp.asarray(octaves), jnp.asarray(mask),
+            )
+        )[:n_rows]
         mask = mask[:n_rows]
         any_obs = mask.any(axis=1)
         self.lm_desc[lm_rows[any_obs]] = rep[any_obs]
         self.lm_normal[lm_rows[any_obs]] = nrm[any_obs]
+        self.lm_dist_rng[lm_rows[any_obs]] = rng[any_obs]
 
     # ------------------------------------------------------------ trajectories
     def _trajectory_lines_tum(self, client_id: int) -> str:

@@ -403,6 +403,7 @@ class PlaceRecognition:
             max_dist=cfg.desc_matching_th_low,
             img_w=calib_q.img_w, img_h=calib_q.img_h,
             check_view_angle=False,
+            lm_dist_rng=jnp.asarray(mp_c.lm_dist_rng[cl_pad]),
         )
         mfeat = np.asarray(mfeat)[:ncl]
         ext = np.where(mfeat >= 0)[0]
@@ -467,6 +468,7 @@ class PlaceRecognition:
                 max_dist=cfg.desc_matching_th_low,
                 img_w=calib_q.img_w, img_h=calib_q.img_h,
                 check_view_angle=True,
+                lm_dist_rng=jnp.asarray(mp_c.lm_dist_rng[hl_pad]),
             )
             hfeat = np.asarray(hfeat)[:nhl]
             hext = np.where(hfeat >= 0)[0]

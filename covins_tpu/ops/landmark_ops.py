@@ -50,6 +50,34 @@ def representative_descriptors(descs_u8, mask):
     return jax.vmap(one)(descs_u8, mask)
 
 
+@partial(jax.jit, static_argnames=("scale_factor", "n_levels"))
+def distance_invariance(lm_pos, obs_cam_centers, obs_octaves, mask,
+                        scale_factor: float = 1.2, n_levels: int = 8):
+    """Scale-invariance distance range per landmark
+    (`Landmark::UpdateNormal`, `landmark_base.cpp:68-133`: the reference
+    takes the ref-KF observation's distance d and octave o and sets
+    max_dist = d * sf^o, min_dist = max_dist / sf^(n_levels-1)).
+
+    Batched analog over the padded observation window: the per-observation
+    estimates d_i * sf^oct_i are averaged (each observation predicts the
+    same pyramid-level-0 distance up to noise), which is strictly more
+    information than the reference's single-ref-KF estimate.
+
+    Returns (L, 2): [min_dist, max_dist]; rows with no valid observation
+    get (0, 0) = "unknown, do not gate".
+    """
+    d = jnp.linalg.norm(obs_cam_centers - lm_pos[:, None, :], axis=-1)
+    est_max = d * jnp.power(scale_factor, obs_octaves)  # (L, P)
+    w = mask.astype(d.dtype)
+    n = jnp.sum(w, axis=1)
+    max_dist = jnp.sum(est_max * w, axis=1) / jnp.maximum(n, 1.0)
+    min_dist = max_dist / scale_factor ** (n_levels - 1)
+    has = n > 0
+    return jnp.where(
+        has[:, None], jnp.stack([min_dist, max_dist], axis=-1), 0.0
+    )
+
+
 @jax.jit
 def landmark_normals(lm_pos, obs_cam_centers, mask):
     """Mean viewing direction per landmark (`Landmark::UpdateNormal`,

@@ -50,44 +50,128 @@ def inv33(A):
     return adj / det[..., None, None]
 
 
+# Above this trailing dim, decompositions run as masked lax.fori_loop
+# bodies (O(1) HLO regardless of n) instead of fully unrolled Python
+# loops: the unrolled 15x15/18x18 variants blow up the HLO under the TPU
+# backend's f64 emulation and compile for tens of minutes (r04 finding).
+_UNROLL_MAX = 8
+
+
 def cholesky_small(A, eps: float = 1e-18):
-    """Unrolled Cholesky (lower) for small trailing dims, any dtype."""
+    """Cholesky (lower) for small trailing dims, any dtype, batched.
+
+    Unrolled for n <= _UNROLL_MAX (fastest runtime, fuses fully), masked
+    fori_loop above (compact HLO, fast compile)."""
     n = A.shape[-1]
-    L = jnp.zeros_like(A)
-    for j in range(n):
-        s = A[..., j, j] - jnp.sum(L[..., j, :j] ** 2, axis=-1)
-        ljj = jnp.sqrt(jnp.maximum(s, eps))
-        L = L.at[..., j, j].set(ljj)
-        if j + 1 < n:
-            s2 = A[..., j + 1:, j] - jnp.einsum(
-                "...ik,...k->...i", L[..., j + 1:, :j], L[..., j, :j]
-            )
-            L = L.at[..., j + 1:, j].set(s2 / ljj[..., None])
-    return L
+    if n <= _UNROLL_MAX:
+        L = jnp.zeros_like(A)
+        for j in range(n):
+            s = A[..., j, j] - jnp.sum(L[..., j, :j] ** 2, axis=-1)
+            ljj = jnp.sqrt(jnp.maximum(s, eps))
+            L = L.at[..., j, j].set(ljj)
+            if j + 1 < n:
+                s2 = A[..., j + 1:, j] - jnp.einsum(
+                    "...ik,...k->...i", L[..., j + 1:, :j], L[..., j, :j]
+                )
+                L = L.at[..., j + 1:, j].set(s2 / ljj[..., None])
+        return L
+
+    idx = jnp.arange(n)
+
+    def body(j, L):
+        # s_i = A[i, j] - sum_{k<j} L[i, k] L[j, k]   for i >= j
+        mask_k = (idx < j).astype(A.dtype)                      # (n,)
+        rowj = jnp.take_along_axis(
+            L, jnp.broadcast_to(j, L.shape[:-2] + (1, 1)).astype(idx.dtype),
+            axis=-2,
+        )[..., 0, :] * mask_k                                    # (..., n)
+        colj = jnp.take_along_axis(
+            A, jnp.broadcast_to(j, A.shape[:-2] + (1, 1)).astype(idx.dtype),
+            axis=-1,
+        )[..., 0]                                                # (..., n)
+        s = colj - jnp.einsum("...ik,...k->...i", L, rowj)
+        sj = jnp.take_along_axis(
+            s, jnp.broadcast_to(j, s.shape[:-1] + (1,)).astype(idx.dtype),
+            axis=-1,
+        )[..., 0]
+        ljj = jnp.sqrt(jnp.maximum(sj, eps))
+        col = jnp.where(idx >= j, s / ljj[..., None], 0.0)
+        return _set_col(L, j, col)
+
+    return jax.lax.fori_loop(0, n, body, jnp.zeros_like(A))
+
+
+def _set_col(M, j, col):
+    """M[..., :, j] = col with traced j (dynamic-update-slice)."""
+    return jax.lax.dynamic_update_slice_in_dim(
+        M, col[..., None], j, axis=M.ndim - 1
+    )
+
+
+def _take1(v, i):
+    """v[..., i] with traced i."""
+    return jnp.take_along_axis(
+        v, jnp.broadcast_to(i, v.shape[:-1] + (1,)).astype(jnp.int32), axis=-1
+    )[..., 0]
 
 
 def _solve_tril(L, b):
-    """L y = b, L lower-triangular, unrolled."""
+    """L y = b, L lower-triangular, batched."""
     n = L.shape[-1]
-    ys = []
-    for i in range(n):
-        s = b[..., i]
-        for k in range(i):
-            s = s - L[..., i, k] * ys[k]
-        ys.append(s / L[..., i, i])
-    return jnp.stack(ys, axis=-1)
+    if n <= _UNROLL_MAX:
+        ys = []
+        for i in range(n):
+            s = b[..., i]
+            for k in range(i):
+                s = s - L[..., i, k] * ys[k]
+            ys.append(s / L[..., i, i])
+        return jnp.stack(ys, axis=-1)
+
+    idx = jnp.arange(n)
+
+    def body(i, y):
+        rowi = jnp.take_along_axis(
+            L, jnp.broadcast_to(i, L.shape[:-2] + (1, 1)).astype(jnp.int32),
+            axis=-2,
+        )[..., 0, :]                                             # (..., n)
+        s = _take1(b, i) - jnp.sum(rowi * y * (idx < i), axis=-1)
+        yi = s / _take1(rowi, i)
+        return _set_elem(y, i, yi)
+
+    return jax.lax.fori_loop(0, n, body, jnp.zeros_like(b))
+
+
+def _set_elem(v, i, val):
+    return jax.lax.dynamic_update_slice_in_dim(
+        v, val[..., None], i, axis=v.ndim - 1
+    )
 
 
 def _solve_triu_t(L, y):
-    """L^T x = y, unrolled."""
+    """L^T x = y, batched."""
     n = L.shape[-1]
-    xs: list = [None] * n
-    for i in reversed(range(n)):
-        s = y[..., i]
-        for k in range(i + 1, n):
-            s = s - L[..., k, i] * xs[k]
-        xs[i] = s / L[..., i, i]
-    return jnp.stack(xs, axis=-1)
+    if n <= _UNROLL_MAX:
+        xs: list = [None] * n
+        for i in reversed(range(n)):
+            s = y[..., i]
+            for k in range(i + 1, n):
+                s = s - L[..., k, i] * xs[k]
+            xs[i] = s / L[..., i, i]
+        return jnp.stack(xs, axis=-1)
+
+    idx = jnp.arange(n)
+
+    def body(t, x):
+        i = n - 1 - t
+        coli = jnp.take_along_axis(
+            L, jnp.broadcast_to(i, L.shape[:-1] + (1,)).astype(jnp.int32),
+            axis=-1,
+        )[..., 0]                                                # (..., n) = L[:, i]
+        s = _take1(y, i) - jnp.sum(coli * x * (idx > i), axis=-1)
+        xi = s / _take1(coli, i)
+        return _set_elem(x, i, xi)
+
+    return jax.lax.fori_loop(0, n, body, jnp.zeros_like(y))
 
 
 def solve_psd_small(A, b):

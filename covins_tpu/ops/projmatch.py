@@ -18,13 +18,13 @@ the gates, take a row argmin, and resolve feature conflicts with a
 scatter-min.  XLA fuses the gates into the distance matmul; the (L, F)
 products are MXU work.
 
-Divergence from the reference (documented): the reference predicts a
-per-landmark scale level from its distance-invariance range
-(`landmark_base.cpp:68-133`) and gates candidate features to octave
-+/- 1 of the prediction; the SoA map does not carry per-landmark
-min/max-distance invariance, so the radius scales with the FEATURE's
-octave instead (same geometric intent: coarser features tolerate larger
-projection error).
+Distance-invariance gating (reference parity): each landmark carries a
+[min, max] valid observation-distance range (`landmark_base.cpp:68-133`),
+candidates outside [0.8 min, 1.2 max] are rejected, and the predicted
+pyramid level log_sf(max_dist / dist) gates candidate features to
+octave +/- 1 of the prediction (`feature_matcher_be.cpp:66-166`).  The
+radius additionally scales with the feature's octave.  Landmarks whose
+range is unknown ((0, 0)) skip the gate.
 """
 
 from __future__ import annotations
@@ -47,6 +47,7 @@ def _project_match_impl(
     lm_desc_pm1,     # (L, D) landmark descriptors, ±1-unpacked (or raw float)
     lm_normal,       # (L, 3) landmark viewing normals
     lm_mask,         # (L,) bool
+    lm_dist_rng,     # (L, 2) [min, max] distance invariance; (0,0) = unknown
     kp_uv,           # (F, 2) keypoint pixel coords (undistorted)
     kp_desc_pm1,     # (F, D) feature descriptors, same unpacking
     kp_octave,       # (F,) float octave of each feature
@@ -71,20 +72,42 @@ def _project_match_impl(
     )
     lm_ok = lm_mask & depth_ok & proj_ok & in_img
 
+    O_w = geo.pose_t(geo.pose_inverse(T_cw))
+    PO = p_w - O_w[None, :]
+    dist3 = jnp.linalg.norm(PO, axis=-1)  # (L,) camera-center distance
+
     if check_view_angle:
         # viewing direction within 60 deg of the landmark normal
         # (`feature_matcher_be.cpp:222-226`: PO . Pn >= 0.5 * dist)
-        O_w = geo.pose_t(geo.pose_inverse(T_cw))
-        PO = p_w - O_w[None, :]
-        dist3 = jnp.linalg.norm(PO, axis=-1)
         cosv = jnp.sum(PO * lm_normal, axis=-1)
         has_normal = jnp.linalg.norm(lm_normal, axis=-1) > 1e-6
         lm_ok = lm_ok & (~has_normal | (cosv >= 0.5 * dist3))
 
+    # distance-invariance gate (`feature_matcher_be.cpp:216-220`:
+    # reject dist outside [0.8 min, 1.2 max]); (0, 0) range = unknown
+    has_rng = lm_dist_rng[:, 1] > 0.0
+    in_rng = (
+        (dist3 >= 0.8 * lm_dist_rng[:, 0])
+        & (dist3 <= 1.2 * lm_dist_rng[:, 1])
+    )
+    lm_ok = lm_ok & (~has_rng | in_rng)
+
+    # predicted pyramid level (`landmark_base.cpp:107-133` PredictScale:
+    # level = ceil(log(max_dist / dist) / log(sf))), candidate features
+    # gated to +/- 1 of it (`feature_matcher_be.cpp:231-238`)
+    pred = jnp.ceil(
+        jnp.log(jnp.maximum(lm_dist_rng[:, 1], 1e-9)
+                / jnp.maximum(dist3, 1e-9))
+        / jnp.log(jnp.asarray(1.2, dist3.dtype))
+    )
+    pred = jnp.clip(pred, 0.0, 16.0)
+    oct_ok = jnp.abs(kp_octave[None, :] - pred[:, None]) <= 1.0  # (L, F)
+    oct_ok = oct_ok | ~has_rng[:, None]
+
     # pixel-radius gate: (L, F)
     d_px = jnp.linalg.norm(uv[:, None, :] - kp_uv[None, :, :], axis=-1)
     radius = radius_px * jnp.power(scale_factor, kp_octave)  # (F,)
-    in_radius = d_px <= radius[None, :]
+    in_radius = (d_px <= radius[None, :]) & oct_ok
 
     # descriptor distances (MXU matmul over the unpacked descriptors)
     if metric == "hamming":
@@ -125,14 +148,18 @@ def _unpack(desc):
 def project_match(cam, T_cw, p_w, lm_desc, lm_normal, lm_mask,
                   kp_uv, kp_desc, kp_octave, kp_free,
                   radius_px, max_dist, img_w, img_h,
-                  check_view_angle=True):
+                  check_view_angle=True, lm_dist_rng=None):
     """SearchByProjection: match landmarks to a keyframe's free features.
 
     Returns (match_feat (L,) int32 with -1 = no match, best_dist (L,)).
     """
+    p_w = jnp.asarray(p_w)
+    if lm_dist_rng is None:
+        lm_dist_rng = jnp.zeros((p_w.shape[0], 2), p_w.dtype)
     metric = "hamming" if jnp.asarray(lm_desc).dtype == jnp.uint8 else "l2"
     return _project_match_impl(
         cam, T_cw, p_w, _unpack(jnp.asarray(lm_desc)), lm_normal, lm_mask,
+        jnp.asarray(lm_dist_rng, p_w.dtype),
         kp_uv, _unpack(jnp.asarray(kp_desc)), kp_octave, kp_free,
         float(radius_px), float(max_dist), float(img_w), float(img_h),
         check_view_angle=check_view_angle, metric=metric,

@@ -137,6 +137,10 @@ class Config:
     vocab_words: int = 512
     retrieval_topk: int = 10
 
+    # --- vis (reference `vis.active`, `visualization_be.cpp:46-61`) ---
+    vis_active: bool = False
+    vis_snapshot_interval_kf: int = 50
+
     _YAML_MAP: ClassVar[Dict[str, Any]] = {
         "sys.threads_server": "threads_server",
         "sys.covis_thres": "covis_thres",
@@ -154,6 +158,8 @@ class Config:
         "mapping.activate_lm_culling": "activate_lm_culling",
         "mapping.kf_culling_th_red": "kf_culling_th_red",
         "mapping.kf_culling_max_time_dist": "kf_culling_max_time_dist",
+        "vis.active": "vis_active",
+        "vis.snapshot_interval_kf": "vis_snapshot_interval_kf",
         "placerec.active": "placerec_active",
         "placerec.type": "placerec_type",
         "placerec.start_after_kf": "start_after_kf",

@@ -93,6 +93,45 @@ def test_project_match_recovers_exact_matches():
     assert int(np.asarray(match2)[0]) == -1
 
 
+def test_project_match_distance_invariance_gate():
+    """Reference parity (`landmark_base.cpp:68-133`,
+    `feature_matcher_be.cpp:216-238`): a landmark whose camera distance
+    falls outside [0.8 min, 1.2 max] of its invariance range must not
+    match; inside the range it must; (0, 0) = unknown skips the gate."""
+    rng = np.random.default_rng(5)
+    cam = cam_mod.make_pinhole_radtan(458.0, 457.0, 376.0, 240.0, [0, 0, 0, 0])
+    L = 8
+    p_c = np.stack([
+        rng.uniform(-0.5, 0.5, L), rng.uniform(-0.4, 0.4, L),
+        np.full(L, 5.0),
+    ], axis=1)  # all at distance ~5
+    uv = np.asarray(cam_mod.project3(cam, jnp.asarray(p_c))[0])
+    descs = rng.integers(0, 256, (L, 32)).astype(np.uint8)
+    T_cw = np.asarray(geo.pose_identity(np.float64))
+    dists = np.linalg.norm(p_c, axis=1)
+
+    def run(rng_arr):
+        m, _ = projmatch.project_match(
+            cam, jnp.asarray(T_cw), jnp.asarray(p_c), jnp.asarray(descs),
+            jnp.zeros((L, 3)), jnp.ones(L, bool),
+            jnp.asarray(uv, jnp.float64), jnp.asarray(descs),
+            jnp.zeros(L, jnp.float64), jnp.ones(L, bool),
+            radius_px=5.0, max_dist=20.0, img_w=752, img_h=480,
+            check_view_angle=False, lm_dist_rng=jnp.asarray(rng_arr),
+        )
+        return np.asarray(m)
+
+    # range consistent with the actual distance (octave-0 features =>
+    # max_dist ~ dist): matches kept
+    good = np.stack([dists / 1.2**7, dists], axis=1)
+    assert (run(good) == np.arange(L)).all()
+    # range far BELOW the actual distance: all rejected
+    bad = np.stack([dists / 100.0 / 1.2**7, dists / 100.0], axis=1)
+    assert (run(bad) == -1).all()
+    # unknown range: gate skipped
+    assert (run(np.zeros((L, 2))) == np.arange(L)).all()
+
+
 def test_project_match_conflict_resolution():
     """Two landmarks projecting onto the same feature: only the closer
     descriptor wins."""

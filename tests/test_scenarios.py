@@ -163,6 +163,34 @@ def test_visual_export(world, vocab, tmp_path):
     assert len(snap["landmarks"]) > 20
 
 
+def test_visual_export_product_wiring(world, vocab, tmp_path):
+    """The visualization is reachable from the PRODUCT, not just the
+    library: the `snapshot` admin verb and the periodic `vis.active`
+    export both write VisBundles (r03 VERDICT missing #2; reference
+    `visualization_be.cpp:46-61,472-498`)."""
+    import json
+    from covins_tpu.comm.server import CovinsServer
+
+    cfg = _cfg(perform_pgo=False, vis_active=True, vis_snapshot_interval_kf=8)
+    srv = CovinsServer(vocab, cfg, output_dir=str(tmp_path))
+    sess = AgentSession(0, srv.manager, cfg)
+    srv.sessions[0] = sess
+    agent = SyntheticAgent(world, 0, n_keyframes=12)
+    sess.ingest_many(list(agent.messages()))
+    sess.flush()
+    # periodic export path (the worker calls this after each window)
+    srv._maybe_export_snapshots()
+    mid = srv.manager.map_of(0).id
+    periodic = tmp_path / f"vis_map{mid}.json"
+    assert periodic.exists(), "vis.active periodic export did not write"
+    # admin verb path
+    out = srv._admin({"verb": "snapshot", "map_id": mid,
+                      "path": str(tmp_path / "verb.json")})
+    assert out["ok"] and (tmp_path / "verb.json").exists()
+    snap = json.load(open(tmp_path / "verb.json"))
+    assert len(snap["agents"]["0"]["poses"]) == 12
+
+
 def test_loadmap_placerec_replay_merges(world, vocab, tmp_path):
     """`covins_loadmap` with placerec replay (`backend.cpp:247-283`): two
     maps built by separate single-agent runs over the same world are
