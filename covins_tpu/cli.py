@@ -22,6 +22,16 @@ import numpy as np
 
 def _load_or_make_vocab(args) -> np.ndarray:
     if args.vocab:
+        if args.vocab.endswith(".txt"):
+            # DBoW2 ORBvoc.txt (backend.cpp:411-429): import the official
+            # tree and flatten it for the dense retrieval pipeline
+            from covins_tpu.ops.dbow_import import load_orb_vocabulary_text
+            voc = load_orb_vocabulary_text(args.vocab)
+            vocab, _ = voc.flatten(max_words=max(args.vocab_words, 1024))
+            print(f"[covins-server] imported DBoW2 vocabulary "
+                  f"k={voc.k} L={voc.L} words={voc.n_words} "
+                  f"-> flat {len(vocab)}", flush=True)
+            return vocab
         z = np.load(args.vocab)
         return z["vocab"] if "vocab" in z else z[z.files[0]]
     # deterministic default: train on synthetic descriptors
@@ -73,6 +83,18 @@ def cmd_agent(args):
         n += 1
     client.finish()
     print(f"[covins-agent] sent {n} messages, done", flush=True)
+
+
+def cmd_frontend(args):
+    from covins_tpu.agents.frontend_adapter import run_stream
+
+    n = run_stream(
+        args.stream, args.host, args.port,
+        kf_t_min=args.kf_t_min, kf_r_min=args.kf_r_min,
+        n_features=args.features, n_features_add=args.features_add,
+    )
+    print(f"[covins-frontend] sent {n} keyframes from {args.stream}",
+          flush=True)
 
 
 def cmd_admin(args):
@@ -163,6 +185,22 @@ def main(argv=None):
                    help="re-send recent keyframes as pose/landmark updates "
                         "(comm.send_updates plane)")
     a.set_defaults(fn=cmd_agent)
+
+    f = sub.add_parser(
+        "frontend",
+        help="attach a recorded front-end stream (CFS format — the "
+             "covins_frontend generic-odometry attachment path)",
+    )
+    f.add_argument("--stream", required=True, help="CFS stream file")
+    f.add_argument("--host", default="127.0.0.1")
+    f.add_argument("--port", type=int, default=9871)
+    f.add_argument("--kf-t-min", type=float, default=0.1,
+                   help="keyframe translation threshold (m)")
+    f.add_argument("--kf-r-min", type=float, default=0.1,
+                   help="keyframe rotation threshold (rad)")
+    f.add_argument("--features", type=int, default=500)
+    f.add_argument("--features-add", type=int, default=1000)
+    f.set_defaults(fn=cmd_frontend)
 
     d = sub.add_parser("admin", help="admin verbs (gba/pgo/savemap/loadmap/prunemap/stats/snapshot)")
     d.add_argument("verb", choices=["gba", "pgo", "savemap", "loadmap", "snapshot",

@@ -572,7 +572,14 @@ class PlaceRecognition:
                 # qbear/cbear are concatenated over ALL rig rows in the same
                 # iq*Fq+f layout as `dist`, so the global padded indices index
                 # them directly (pad rows are masked by m5).
-                out5 = epipolar.relative_pose_ransac_central(
+                # minimal 5-pt (Nister; reference STEWENIUS parity) or
+                # linear 8-pt, per `rel_minimal_solver`
+                central_ransac = (
+                    epipolar.relative_pose_ransac_central_5pt
+                    if cfg.rel_minimal_solver == "5pt"
+                    else epipolar.relative_pose_ransac_central
+                )
+                out5 = central_ransac(
                     self._next_key(),
                     qbear[jnp.asarray(pq)],
                     cbear[jnp.asarray(pc)],

@@ -96,6 +96,170 @@ def p3p_grunert(points_w, bearings):
     return T, valid
 
 
+def gp3p_kneip(points_w, origins, bearings, n_grid: int = 512,
+               bisect_iters: int = 40):
+    """Non-central (generalized) P3P: three rays with DISTINCT origins.
+
+    The true minimal solver behind the reference's
+    ``Se3Solver::projectiveAlignment`` (OpenGV GP3P, `Se3Solver.cpp:59-110`)
+    for multi-camera / multi-keyframe rigs; the central
+    :func:`p3p_grunert` is its ``origins = 0`` special case.
+
+    Args:
+      points_w: (3, 3) world points.
+      origins: (3, 3) ray origins in the rig frame.
+      bearings: (3, 3) unit ray directions in the rig frame.
+
+    Returns ``(T_rig_w (8, 7), valid (8,))`` — up to 8 candidates (the
+    Bezout bound of the three pairwise-distance quadrics).
+
+    Method (TPU-safe, no Groebner/eigensolver): the three constraints
+    ``|x_i - x_j| = |p_i - p_j|`` with ``x_i = v_i + lam_i f_i`` couple
+    (lam_1, lam_3) and (lam_2, lam_3) through quadratics that are solved
+    in closed form per branch sign; substituting into the (1,2) constraint
+    leaves one continuous function of lam_3 per branch pair, whose sign
+    changes are bracketed on a compactified grid and bisected.  Rigid
+    alignment of the recovered rig-frame triangle then gives the pose.
+    """
+    dtype = points_w.dtype
+    d2 = jnp.stack([
+        jnp.sum((points_w[0] - points_w[1]) ** 2),
+        jnp.sum((points_w[0] - points_w[2]) ** 2),
+        jnp.sum((points_w[1] - points_w[2]) ** 2),
+    ])  # d12^2, d13^2, d23^2
+
+    # normalize the metric scale so lam is O(1) on the search grid
+    scale = jnp.sqrt(jnp.maximum(jnp.max(d2), 1e-24))
+    v = origins / scale
+    d2 = d2 / (scale * scale)
+    f = bearings
+
+    w13 = v[0] - v[2]
+    w23 = v[1] - v[2]
+    w12 = v[0] - v[1]
+    c13 = jnp.dot(f[0], f[2])
+    c23 = jnp.dot(f[1], f[2])
+    c12 = jnp.dot(f[0], f[1])
+
+    def lam1_of(lam3, sign):
+        # E13: lam1^2 + 2 b lam1 + c = 0  (monic)
+        b = jnp.dot(f[0], w13) - lam3 * c13
+        c = lam3 * lam3 - 2.0 * lam3 * jnp.dot(f[2], w13) + jnp.dot(w13, w13) - d2[1]
+        disc = b * b - c
+        ok = disc >= 0
+        return -b + sign * jnp.sqrt(jnp.maximum(disc, 0.0)), ok
+
+    def lam2_of(lam3, sign):
+        b = jnp.dot(f[1], w23) - lam3 * c23
+        c = lam3 * lam3 - 2.0 * lam3 * jnp.dot(f[2], w23) + jnp.dot(w23, w23) - d2[2]
+        disc = b * b - c
+        ok = disc >= 0
+        return -b + sign * jnp.sqrt(jnp.maximum(disc, 0.0)), ok
+
+    def resid12(lam1, lam2):
+        x1 = v[0] + lam1 * f[0]
+        x2 = v[1] + lam2 * f[1]
+        return jnp.sum((x1 - x2) ** 2) - d2[0]
+
+    def g(lam3, s1, s2):
+        l1, ok1 = lam1_of(lam3, s1)
+        l2, ok2 = lam2_of(lam3, s2)
+        return resid12(l1, l2), ok1 & ok2
+
+    # compactified positive grid: lam3 = u / (1 - u), u in (0, 1)
+    u = jnp.linspace(1e-3, 1.0 - 2e-3, n_grid)
+    lam3_grid = u / (1.0 - u)
+
+    sols = []
+    valids = []
+    for s1 in (1.0, -1.0):
+        for s2 in (1.0, -1.0):
+            gv, ok = jax.vmap(lambda l: g(l, s1, s2))(lam3_grid)
+            sgn = jnp.sign(gv)
+            change = (sgn[:-1] * sgn[1:] < 0) & ok[:-1] & ok[1:]
+            rank = jnp.cumsum(change)
+            for slot in range(2):  # up to 2 roots per branch (8 total)
+                hit = change & (rank == slot + 1)
+                has = jnp.any(hit)
+                i0 = jnp.argmax(hit)
+                lo = lam3_grid[i0]
+                hi = lam3_grid[i0 + 1]
+                g_lo, _ = g(lo, s1, s2)
+                for _ in range(bisect_iters):
+                    mid = 0.5 * (lo + hi)
+                    g_mid, _ = g(mid, s1, s2)
+                    left = g_lo * g_mid <= 0
+                    hi = jnp.where(left, mid, hi)
+                    lo = jnp.where(left, lo, mid)
+                    g_lo = jnp.where(left, g_lo, g_mid)
+                lam3 = 0.5 * (lo + hi)
+                l1, ok1 = lam1_of(lam3, s1)
+                l2, ok2 = lam2_of(lam3, s2)
+                sols.append(jnp.stack([l1, l2, lam3]))
+                valids.append(has & ok1 & ok2 & (l1 > 0) & (l2 > 0)
+                              & (lam3 > 0))
+    lam = jnp.stack(sols)          # (8, 3) in normalized units
+    valid = jnp.stack(valids)      # (8,)
+
+    def align(lams):
+        X = v + lams[:, None] * f          # rig-frame triangle (normalized)
+        g7 = geo.umeyama_alignment(points_w, X * scale, with_scale=False)
+        return g7[:7]
+
+    T = jax.vmap(align)(lam)
+    return T, valid
+
+
+def generalized_reprojection_angular_error(T_rig_w, points_w, origins,
+                                           bearings):
+    """Angular error between each non-central ray and the direction to its
+    world point mapped into the rig frame.  T_rig_w: (..., 7);
+    points_w/origins/bearings: (N, 3).  Returns (..., N)."""
+    p_r = geo.pose_apply(T_rig_w[..., None, :], points_w)  # (..., N, 3)
+    d = p_r - origins
+    n = jnp.linalg.norm(d, axis=-1)
+    pred = d / jnp.maximum(n, 1e-12)[..., None]
+    cosang = jnp.clip(jnp.sum(pred * bearings, axis=-1), -1.0, 1.0)
+    return jnp.where(n > 1e-9, jnp.arccos(cosang), jnp.pi)
+
+
+@functools.partial(jax.jit, static_argnames=('n_hypotheses',))
+def generalized_absolute_pose_ransac(
+    key,
+    points_w,
+    origins,
+    bearings,
+    mask,
+    n_hypotheses: int = 256,
+    threshold_rad: float = 0.006,
+):
+    """GP3P RANSAC over a non-central rig (multi-keyframe 2D-3D
+    verification, the full OpenGV-GP3P role of `Se3Solver.cpp:59-110`).
+
+    Same contract as :func:`absolute_pose_ransac` plus per-ray `origins`;
+    returns `T_rig_w` mapping world into the rig frame."""
+    idx = ransac.sample_minimal_sets(key, mask, n_hypotheses, 3)
+
+    def solve_one(ix):
+        return gp3p_kneip(points_w[ix], origins[ix], bearings[ix],
+                          n_grid=128, bisect_iters=32)
+
+    T, valid = jax.vmap(solve_one)(idx)  # (H, 8, 7), (H, 8)
+    T = T.reshape(-1, 7)
+    valid = valid.reshape(-1)
+
+    err = generalized_reprojection_angular_error(
+        T, points_w, origins, bearings)  # (H*8, N)
+    inl = (err < threshold_rad) & mask[None, :]
+    counts = jnp.where(valid, inl.sum(axis=-1), -1)
+    best = jnp.argmax(counts)
+    return {
+        "T_rig_w": T[best],
+        "inliers": inl[best],
+        "n_inliers": jnp.maximum(counts[best], 0),
+    }
+
+
 def reprojection_angular_error(T_c_w, points_w, bearings):
     """Angular error (radians) between predicted and observed bearings.
 

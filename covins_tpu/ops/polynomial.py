@@ -156,6 +156,82 @@ def solve_quartic(a, b, c, d, e):
     return roots, is_real
 
 
+def solve_poly_real(coeffs, n_grid: int = 1024, bisect_iters: int = 48,
+                    newton_iters: int = 3):
+    """All real roots of a degree-D polynomial, pure real arithmetic.
+
+    ``coeffs``: (D+1,) highest-degree first (unbatched — vmap for batches).
+    Returns ``(roots (D,), valid (D,))``.
+
+    Method: substitute z = tan(theta) and evaluate the homogenized form
+    P~(theta) = sum_k c_k sin^k cos^(D-k), which is continuous on
+    (-pi/2, pi/2) and shares sign changes with P(z) on the whole real line.
+    Bracket sign changes on an ``n_grid`` theta grid, bisect each bracket,
+    then Newton-polish in z.  Branch-free, static shapes, no complex dtypes,
+    no eigensolver — the TPU-safe companion-matrix replacement used by the
+    5-pt (Nister degree-10) and GP3P (degree-8) minimal solvers.
+
+    Limitations (fine under RANSAC, which sees many hypotheses): roots of
+    even multiplicity produce no sign change and are missed; roots closer
+    together than the grid pitch may merge into one bracket.
+    """
+    coeffs = jnp.asarray(coeffs)
+    deg = coeffs.shape[-1] - 1
+
+    # Fujiwara root bound -> rescale z = s u so every root has |u| <~ 1,
+    # where the tan grid is densest.  Without this, two large nearby roots
+    # land in one theta cell and merge.  Clamped: a vanishing leading
+    # coefficient (roots escaping to infinity) must not crush the finite
+    # roots into an unresolvable cluster at u ~ 0.
+    c0 = jnp.maximum(jnp.abs(coeffs[0]), 1e-30)
+    k = jnp.arange(1, deg + 1, dtype=coeffs.dtype)
+    ratios = (jnp.abs(coeffs[1:]) / c0) ** (1.0 / k)
+    s = jnp.clip(2.0 * jnp.max(ratios), 1e-3, 1e3)
+    scaled = coeffs * s ** jnp.arange(deg, -1.0, -1.0, dtype=coeffs.dtype)
+    scaled = scaled / jnp.maximum(jnp.max(jnp.abs(scaled)), 1e-30)
+    orig_coeffs, coeffs = coeffs, scaled
+
+    eps = 1e-4
+    theta = jnp.linspace(-jnp.pi / 2 + eps, jnp.pi / 2 - eps, n_grid)
+
+    def homog(th):
+        s, c = jnp.sin(th), jnp.cos(th)
+        # sum_k coeffs[k] * s^(D-k) * c^k   (coeffs[0] is the z^D term)
+        powers_s = s[..., None] ** jnp.arange(deg, -1.0, -1.0)
+        powers_c = c[..., None] ** jnp.arange(0.0, deg + 1.0)
+        return jnp.sum(coeffs * powers_s * powers_c, axis=-1)
+
+    f = homog(theta)  # (G,)
+    sgn = jnp.sign(f)
+    change = (sgn[:-1] * sgn[1:] < 0) | (sgn[:-1] == 0)
+    rank = jnp.cumsum(change)  # (G-1,)
+
+    # bracket slot j <- index of the (j+1)-th sign change (or flag invalid)
+    lo_list, hi_list, valid_list = [], [], []
+    for j in range(deg):
+        hit = change & (rank == j + 1)
+        idx = jnp.argmax(hit)
+        valid_list.append(jnp.any(hit))
+        lo_list.append(theta[idx])
+        hi_list.append(theta[idx + 1])
+    lo = jnp.stack(lo_list)
+    hi = jnp.stack(hi_list)
+    valid = jnp.stack(valid_list)
+
+    f_lo = homog(lo)
+    for _ in range(bisect_iters):
+        mid = 0.5 * (lo + hi)
+        f_mid = homog(mid)
+        left = f_lo * f_mid <= 0
+        hi = jnp.where(left, mid, hi)
+        lo = jnp.where(left, lo, mid)
+        f_lo = jnp.where(left, f_lo, f_mid)
+    roots = jnp.tan(0.5 * (lo + hi)) * s  # back to the original variable
+    roots = polish_real_roots(orig_coeffs[None, :], roots[None, :],
+                              iters=newton_iters)[0]
+    return jnp.where(valid, roots, 0.0), valid
+
+
 def polish_real_roots(coeffs, roots, iters: int = 3):
     """Newton-polish real roots against the full polynomial.
 

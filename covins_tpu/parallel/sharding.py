@@ -109,6 +109,47 @@ def shard_gba_problem(mesh: Mesh, p, axis: str = "data"):
     )
 
 
+def shard_pose_graph(mesh: Mesh, g, axis: str = "data", multiple: int = None):
+    """Lay out a PoseGraph for an N-device mesh: EDGE arrays sharded by
+    row (every GN iteration evaluates all edge residuals in one vmapped
+    batch, so edges are the data axis), poses replicated (pose count <<
+    edge count; the PCG mat-vec's segment-sum reduces across shards via a
+    psum XLA inserts).  Pads the edge capacity to the mesh size."""
+    import numpy as np
+
+    n_dev = int(np.prod(mesh.devices.shape))
+    mult = multiple or n_dev
+    E = g.edge_i.shape[0]
+    pad = (-E) % mult
+    if pad:
+        z6 = jnp.zeros((pad, 6, 6), g.edge_sqrt_info.dtype)
+        ident = jnp.zeros((pad, 7), g.edge_T.dtype).at[:, 0].set(1.0)
+        g = dataclasses.replace(
+            g,
+            edge_i=jnp.concatenate([g.edge_i, jnp.zeros(pad, g.edge_i.dtype)]),
+            edge_j=jnp.concatenate([g.edge_j, jnp.zeros(pad, g.edge_j.dtype)]),
+            edge_T=jnp.concatenate([g.edge_T, ident]),
+            edge_sqrt_info=jnp.concatenate([g.edge_sqrt_info, z6]),
+            edge_mask=jnp.concatenate([g.edge_mask, jnp.zeros(pad, bool)]),
+            edge_is_loop=jnp.concatenate(
+                [g.edge_is_loop, jnp.zeros(pad, bool)]),
+        )
+
+    def rows(x):
+        return shard_rows(mesh, x, axis)
+
+    def repl(x):
+        return replicate(mesh, x)
+
+    return dataclasses.replace(
+        g,
+        edge_i=rows(g.edge_i), edge_j=rows(g.edge_j), edge_T=rows(g.edge_T),
+        edge_sqrt_info=rows(g.edge_sqrt_info), edge_mask=rows(g.edge_mask),
+        edge_is_loop=rows(g.edge_is_loop),
+        poses=repl(g.poses), pose_mask=repl(g.pose_mask), fixed=repl(g.fixed),
+    )
+
+
 def pad_to_multiple(p, multiple: int):
     """Pad a GBAProblem's observation and landmark axes (masked slots) so
     they shard evenly over `multiple` devices."""

@@ -103,6 +103,10 @@ class Config:
     rel_min_inliers: int = 20
     rel_max_iters: int = 200
     rel_min_img_matches: int = 20
+    # minimal solver for the per-pair central prefilter: "5pt" (Nister,
+    # matches the reference's STEWENIUS minimal sample — more robust at
+    # high outlier ratios) or "8pt" (linear — cheaper per hypothesis)
+    rel_minimal_solver: str = "5pt"
     max_yaw: float = 50.0  # degrees
     max_trans: float = 2.0  # meters
 
@@ -187,6 +191,7 @@ class Config:
         "placerec.rel_pose.min_inliers": "rel_min_inliers",
         "placerec.rel_pose.max_iters": "rel_max_iters",
         "placerec.rel_pose.min_img_matches": "rel_min_img_matches",
+        "placerec.rel_pose.minimal_solver": "rel_minimal_solver",
         "placerec.max_yaw": "max_yaw",
         "placerec.max_trans": "max_trans",
         "opt.gba_iteration_limit": "gba_iteration_limit",

@@ -142,3 +142,34 @@ def test_triangulate_midpoint():
     X, ok = epi.triangulate_midpoint(o1, d1, o2, d2)
     assert bool(ok[0])
     np.testing.assert_allclose(np.asarray(X[0]), [0.0, 0.0, 4.0], atol=1e-9)
+
+
+def test_essential_5pt_exact():
+    """Minimal 5-pt (Nister): true E among the returned candidates."""
+    fa, fb, T_true = _central_pair(jax.random.PRNGKey(7), n=5)
+    E_all, valid = epi.essential_5pt(fa, fb)
+    assert bool(jnp.any(valid))
+    # score each valid candidate on an independent set of correspondences
+    fa2, fb2, _ = _central_pair(jax.random.PRNGKey(7), n=50)
+    res = jnp.abs(jnp.einsum("ni,cij,nj->cn", fa2, E_all, fb2))
+    best = float(jnp.min(jnp.where(valid[:, None], res, jnp.inf).max(-1)))
+    assert best < 1e-6
+
+
+def test_central_ransac_5pt_outliers():
+    """5-pt RANSAC survives 40% outliers (8-pt degrades here — the reason
+    the reference uses the minimal sample, RelNonCentralPosSolver.cpp:343)."""
+    key = jax.random.PRNGKey(11)
+    fa, fb, T_true = _central_pair(key, n=100)
+    k1, _ = jax.random.split(key)
+    bad = jax.random.normal(k1, (40, 3), jnp.float64)
+    fb = fb.at[:40].set(bad / jnp.linalg.norm(bad, axis=-1, keepdims=True))
+    out = epi.relative_pose_ransac_central_5pt(
+        jax.random.PRNGKey(1), fa, fb, jnp.ones(100, bool),
+        n_hypotheses=64, threshold_rad=0.002,
+    )
+    assert int(out["n_inliers"]) >= 55
+    dq = geo.quat_multiply(
+        geo.quat_conjugate(geo.pose_q(out["T_a_b"])), geo.pose_q(T_true)
+    )
+    assert float(jnp.linalg.norm(geo.quat_log(dq))) < 0.02

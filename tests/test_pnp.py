@@ -142,3 +142,80 @@ def test_angular_error_behind_camera():
     br = jnp.asarray([[0.0, 0.0, 1.0]])
     err = pnp.reprojection_angular_error(T, pts, br)
     assert float(err[0]) > 3.0
+
+
+def _random_rig_scene(key, n=60, rig_spread=0.6):
+    """Non-central scene: rays from n distinct origins in the rig frame."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    points = jax.random.uniform(k1, (n, 3), jnp.float64, -5.0, 5.0)
+    points = points + jnp.asarray([0.0, 0.0, 12.0])
+    w = jax.random.normal(k2, (3,), jnp.float64) * 0.3
+    t = jax.random.normal(k3, (3,), jnp.float64) * 2.0
+    T_rig_w = geo.pose_from_qt(geo.quat_exp(w), t)
+    origins = jax.random.normal(k4, (n, 3), jnp.float64) * rig_spread
+    p_r = geo.pose_apply(T_rig_w[None], points)
+    d = p_r - origins
+    bearings = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return points, origins, bearings, T_rig_w
+
+
+def test_gp3p_exact_recovery():
+    """Minimal non-central absolute pose (the OpenGV GP3P role,
+    Se3Solver.cpp:59-110): true pose among the <=8 candidates."""
+    for seed in range(4):
+        points, origins, bearings, T_true = _random_rig_scene(
+            jax.random.PRNGKey(seed), n=3)
+        T, valid = pnp.gp3p_kneip(points, origins, bearings)
+        errs = jax.vmap(lambda Ti: jnp.linalg.norm(
+            geo.pose_boxminus(Ti, T_true)))(T)
+        best = float(jnp.min(jnp.where(valid, errs, jnp.inf)))
+        assert best < 1e-5, (seed, best)
+
+
+def test_gp3p_reduces_to_central():
+    """origins = 0 must agree with the central P3P solution set."""
+    points, _, bearings, T_true = _random_rig_scene(
+        jax.random.PRNGKey(11), n=3, rig_spread=0.0)
+    T, valid = pnp.gp3p_kneip(points, jnp.zeros((3, 3), jnp.float64),
+                              bearings)
+    errs = jax.vmap(lambda Ti: jnp.linalg.norm(
+        geo.pose_boxminus(Ti, T_true)))(T)
+    assert float(jnp.min(jnp.where(valid, errs, jnp.inf))) < 1e-5
+
+
+def test_generalized_ransac_with_outliers():
+    key = jax.random.PRNGKey(21)
+    points, origins, bearings, T_true = _random_rig_scene(key, n=60)
+    k1, k2 = jax.random.split(key)
+    n_out = 18
+    bad = jax.random.normal(k1, (n_out, 3), jnp.float64)
+    bearings = bearings.at[:n_out].set(
+        bad / jnp.linalg.norm(bad, axis=-1, keepdims=True))
+    out = pnp.generalized_absolute_pose_ransac(
+        k2, points, origins, bearings, jnp.ones(60, bool),
+        n_hypotheses=64, threshold_rad=0.002)
+    d = geo.pose_boxminus(out["T_rig_w"], T_true)
+    assert float(jnp.linalg.norm(d)) < 1e-2
+    inl = np.asarray(out["inliers"])
+    assert inl[n_out:].sum() >= 35
+    assert inl[:n_out].sum() <= 2
+
+
+def test_solve_poly_real_separated_roots():
+    """The bracketing solver finds every well-separated real root (the
+    contract the 5pt/GP3P minimal solvers rely on).  Roots closer than
+    the scaled grid pitch may merge — acceptable under RANSAC, documented
+    in `polynomial.solve_poly_real`."""
+    rng = np.random.default_rng(5)
+    for _ in range(10):
+        true = np.sort(rng.uniform(-3.0, 3.0, size=6))
+        # enforce separation >= 0.3
+        true = true[np.concatenate([[True], np.diff(true) > 0.3])]
+        c = np.poly(true)
+        while len(c) < 11:  # pad to degree 10 with rootless quadratics
+            c = np.convolve(c, [1.0, rng.normal(), abs(rng.normal()) + 4])
+        c = c[:11] if len(c) == 11 else np.poly(true)
+        roots, valid = poly.solve_poly_real(jnp.asarray(c))
+        got = np.asarray(roots)[np.asarray(valid)]
+        for t in true:
+            assert np.min(np.abs(got - t)) < 1e-5 * (1 + abs(t)), (t, got)
