@@ -184,10 +184,24 @@ class CovinsServer:
     def _admin(self, cmd: dict):
         """The four service verbs (`backend.cpp:128-357`)."""
         verb = cmd.get("verb")
+
+        def resolve_map_id():
+            """Default / post-merge-safe map id: an explicit id is used as
+            given; otherwise fall back to the (single) live map — after a
+            merge the absorbed id no longer exists, and failing a default
+            `gba` on it would be a trap (found by the e2e drive)."""
+            mid = cmd.get("map_id")
+            if mid is not None and int(mid) in self.manager.maps:
+                return int(mid)
+            if mid is None and self.manager.maps:
+                return min(self.manager.maps)
+            raise KeyError(f"no such map: {mid} "
+                           f"(live: {sorted(self.manager.maps)})")
+
         if verb == "gba":
             # `CallbackGBA` action codes (`backend.cpp:128-176`): visual-only
             # and outlier-removal toggles + optional solver time budget.
-            map_id = int(cmd.get("map_id", 0))
+            map_id = resolve_map_id()
             visual_only = bool(cmd.get("visual_only", False))
             outlier_removal = bool(cmd.get("outlier_removal", True))
             tb = cmd.get("time_budget_s")
@@ -202,11 +216,11 @@ class CovinsServer:
                     "time_budget_hit": bool(info.get("time_budget_hit", False)),
                     "final_cost": float(np.asarray(info["costs"])[-1])}
         if verb == "pgo":
-            map_id = int(cmd.get("map_id", 0))
+            map_id = resolve_map_id()
             self.manager.run_pgo(self.manager.maps[map_id])
             return {"ok": True}
         if verb == "savemap":
-            map_id = int(cmd.get("map_id", 0))
+            map_id = resolve_map_id()
             path = cmd.get("path", f"{self.output_dir}/map_{map_id}.npz")
             self.manager.maps[map_id].save(path)
             return {"ok": True, "path": path}
@@ -226,7 +240,7 @@ class CovinsServer:
                 )
             return out
         if verb == "prunemap":
-            map_id = int(cmd.get("map_id", 0))
+            map_id = resolve_map_id()
             mp = self.manager.maps[map_id]
             removed = mp.remove_redundant_keyframes(
                 threshold=self.cfg.kf_culling_th_red,

@@ -60,6 +60,9 @@ def map_snapshot(mp, covis_thres: int = 10, max_landmarks: int = 20000) -> dict:
         snap["loops"].append({
             "kf1": int(lc["kf1"]), "kf2": int(lc["kf2"]),
             "inter_agent": bool(inter),
+            # endpoint positions so plotters need no row->pose join
+            "p1": mp.kf_pose[lc["kf1"], 4:7].round(4).tolist(),
+            "p2": mp.kf_pose[lc["kf2"], 4:7].round(4).tolist(),
         })
     lms = np.where(mp.lm_mask[: mp.n_lm])[0][:max_landmarks]
     snap["landmarks"] = mp.lm_pos[lms].round(4).tolist()

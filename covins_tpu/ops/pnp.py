@@ -96,8 +96,7 @@ def p3p_grunert(points_w, bearings):
     return T, valid
 
 
-def gp3p_kneip(points_w, origins, bearings, n_grid: int = 512,
-               bisect_iters: int = 40):
+def gp3p_kneip(points_w, origins, bearings):
     """Non-central (generalized) P3P: three rays with DISTINCT origins.
 
     The true minimal solver behind the reference's
@@ -110,16 +109,21 @@ def gp3p_kneip(points_w, origins, bearings, n_grid: int = 512,
       origins: (3, 3) ray origins in the rig frame.
       bearings: (3, 3) unit ray directions in the rig frame.
 
-    Returns ``(T_rig_w (8, 7), valid (8,))`` — up to 8 candidates (the
-    Bezout bound of the three pairwise-distance quadrics).
+    Returns ``(T_rig_w (8, 7), valid (8,))`` — up to 8 candidate poses
+    (the Bezout bound of the three pairwise-distance quadrics); extraneous
+    resultant roots are masked by the residual check.
 
-    Method (TPU-safe, no Groebner/eigensolver): the three constraints
-    ``|x_i - x_j| = |p_i - p_j|`` with ``x_i = v_i + lam_i f_i`` couple
-    (lam_1, lam_3) and (lam_2, lam_3) through quadratics that are solved
-    in closed form per branch sign; substituting into the (1,2) constraint
-    leaves one continuous function of lam_3 per branch pair, whose sign
-    changes are bracketed on a compactified grid and bisected.  Rigid
-    alignment of the recovered rig-frame triangle then gives the pose.
+    Method (TPU-safe, no Groebner basis / eigensolver / complex dtype):
+    the pairwise-distance constraints ``|x_i - x_j| = |p_i - p_j|`` with
+    ``x_i = v_i + lam_i f_i`` are quadrics E12, E13, E23 where E13 couples
+    only (lam_1, lam_3) and E23 only (lam_2, lam_3).  Eliminate lam_1 by
+    taking the product of E12 over the two conjugate roots of E13 (a
+    sqrt-free polynomial identity), then eliminate lam_2 the same way
+    against E23 — pure univariate polynomial arithmetic (convolutions) in
+    lam_3.  Real roots come from `polynomial.solve_poly_real`; lam_1/2
+    are recovered per root from the closed-form quadratics, picking the
+    branch pair that satisfies E12.  Rigid alignment (Horn) of the
+    recovered rig-frame triangle gives each pose.
     """
     dtype = points_w.dtype
     d2 = jnp.stack([
@@ -128,7 +132,7 @@ def gp3p_kneip(points_w, origins, bearings, n_grid: int = 512,
         jnp.sum((points_w[1] - points_w[2]) ** 2),
     ])  # d12^2, d13^2, d23^2
 
-    # normalize the metric scale so lam is O(1) on the search grid
+    # normalize the metric scale so lam is O(1) for the root finder
     scale = jnp.sqrt(jnp.maximum(jnp.max(d2), 1e-24))
     v = origins / scale
     d2 = d2 / (scale * scale)
@@ -141,65 +145,106 @@ def gp3p_kneip(points_w, origins, bearings, n_grid: int = 512,
     c23 = jnp.dot(f[1], f[2])
     c12 = jnp.dot(f[0], f[1])
 
-    def lam1_of(lam3, sign):
-        # E13: lam1^2 + 2 b lam1 + c = 0  (monic)
-        b = jnp.dot(f[0], w13) - lam3 * c13
-        c = lam3 * lam3 - 2.0 * lam3 * jnp.dot(f[2], w13) + jnp.dot(w13, w13) - d2[1]
-        disc = b * b - c
-        ok = disc >= 0
-        return -b + sign * jnp.sqrt(jnp.maximum(disc, 0.0)), ok
+    # E13: lam1^2 + 2 b1(lam3) lam1 + c1(lam3) = 0   (coeffs lowest-first)
+    b1 = jnp.stack([jnp.dot(f[0], w13), -c13])
+    c1 = jnp.stack([jnp.dot(w13, w13) - d2[1], -2.0 * jnp.dot(f[2], w13),
+                    jnp.ones((), dtype)])
+    # E23: lam2^2 + 2 b2(lam3) lam2 + c2(lam3) = 0
+    b2 = jnp.stack([jnp.dot(f[1], w23), -c23])
+    c2 = jnp.stack([jnp.dot(w23, w23) - d2[2], -2.0 * jnp.dot(f[2], w23),
+                    jnp.ones((), dtype)])
 
-    def lam2_of(lam3, sign):
-        b = jnp.dot(f[1], w23) - lam3 * c23
-        c = lam3 * lam3 - 2.0 * lam3 * jnp.dot(f[2], w23) + jnp.dot(w23, w23) - d2[2]
-        disc = b * b - c
-        ok = disc >= 0
-        return -b + sign * jnp.sqrt(jnp.maximum(disc, 0.0)), ok
+    conv = jnp.convolve
 
-    def resid12(lam1, lam2):
-        x1 = v[0] + lam1 * f[0]
-        x2 = v[1] + lam2 * f[1]
-        return jnp.sum((x1 - x2) ** 2) - d2[0]
+    # E12 as a monic quadratic in lam1 with lam2-polynomial coefficients:
+    #   lam1^2 + 2 beta(lam2) lam1 + gamma(lam2),
+    #   beta = f0.w12 - c12 lam2,  gamma = lam2^2 - 2 f1.w12 lam2 + k12
+    # Eliminate lam1 via E12(l1+) * E12(l1-) with l1± the E13 roots:
+    # E12(l1) == 2(beta - b1) l1 + (gamma - c1)  (mod E13), so the product
+    # is 4(beta-b1)^2 c1 - 4 b1 (beta-b1)(gamma-c1) + (gamma-c1)^2 — a
+    # bivariate polynomial R1[lam2-deg, lam3-deg] built by 2-D convolution.
+    conv2 = jax.scipy.signal.convolve
 
-    def g(lam3, s1, s2):
-        l1, ok1 = lam1_of(lam3, s1)
-        l2, ok2 = lam2_of(lam3, s2)
-        return resid12(l1, l2), ok1 & ok2
+    def biv(rows):
+        """rows: list of lam3-coefficient arrays, index = lam2 degree."""
+        width = max(r.shape[0] for r in rows)
+        return jnp.stack([
+            jnp.pad(r, (0, width - r.shape[0])) for r in rows
+        ])
 
-    # compactified positive grid: lam3 = u / (1 - u), u in (0, 1)
-    u = jnp.linspace(1e-3, 1.0 - 2e-3, n_grid)
-    lam3_grid = u / (1.0 - u)
+    k12 = jnp.dot(w12, w12) - d2[0]
+    beta_m_b1 = biv([-b1 + jnp.pad(jnp.dot(f[0], w12)[None], (0, 1)),
+                     jnp.stack([-c12, jnp.zeros((), dtype)])])  # (2, 2)
+    gamma_m_c1 = biv([
+        -c1 + jnp.pad(k12[None], (0, 2)),
+        jnp.pad((-2.0 * jnp.dot(f[1], w12))[None], (0, 2)),
+        jnp.pad(jnp.ones((1,), dtype), (0, 2)),
+    ])  # (3, 3)
+    t1 = 4.0 * conv2(conv2(beta_m_b1, beta_m_b1), c1[None, :])
+    t2 = -4.0 * conv2(conv2(b1[None, :], beta_m_b1), gamma_m_c1)
+    t3 = conv2(gamma_m_c1, gamma_m_c1)
 
-    sols = []
-    valids = []
-    for s1 in (1.0, -1.0):
-        for s2 in (1.0, -1.0):
-            gv, ok = jax.vmap(lambda l: g(l, s1, s2))(lam3_grid)
-            sgn = jnp.sign(gv)
-            change = (sgn[:-1] * sgn[1:] < 0) & ok[:-1] & ok[1:]
-            rank = jnp.cumsum(change)
-            for slot in range(2):  # up to 2 roots per branch (8 total)
-                hit = change & (rank == slot + 1)
-                has = jnp.any(hit)
-                i0 = jnp.argmax(hit)
-                lo = lam3_grid[i0]
-                hi = lam3_grid[i0 + 1]
-                g_lo, _ = g(lo, s1, s2)
-                for _ in range(bisect_iters):
-                    mid = 0.5 * (lo + hi)
-                    g_mid, _ = g(mid, s1, s2)
-                    left = g_lo * g_mid <= 0
-                    hi = jnp.where(left, mid, hi)
-                    lo = jnp.where(left, lo, mid)
-                    g_lo = jnp.where(left, g_lo, g_mid)
-                lam3 = 0.5 * (lo + hi)
-                l1, ok1 = lam1_of(lam3, s1)
-                l2, ok2 = lam2_of(lam3, s2)
-                sols.append(jnp.stack([l1, l2, lam3]))
-                valids.append(has & ok1 & ok2 & (l1 > 0) & (l2 > 0)
-                              & (lam3 > 0))
-    lam = jnp.stack(sols)          # (8, 3) in normalized units
-    valid = jnp.stack(valids)      # (8,)
+    def pad_to(M, shape):
+        return jnp.pad(M, ((0, shape[0] - M.shape[0]),
+                           (0, shape[1] - M.shape[1])))
+
+    H = max(t1.shape[0], t2.shape[0], t3.shape[0])
+    W = max(t1.shape[1], t2.shape[1], t3.shape[1])
+    R1 = pad_to(t1, (H, W)) + pad_to(t2, (H, W)) + pad_to(t3, (H, W))
+    # R1: (5, W) — lam2-degree up to 4, lam3-coeff arrays of width W
+
+    # Reduce R1 modulo E23 (lam2^2 = -2 b2 lam2 - c2): lam2^k == u_k lam2
+    # + w_k with polynomial-in-lam3 pairs, then R1 == p lam2 + q.
+    u_k = [jnp.zeros((1,), dtype), jnp.ones((1,), dtype)]
+    w_k = [jnp.ones((1,), dtype), jnp.zeros((1,), dtype)]
+    for _ in range(2, R1.shape[0]):
+        u_n = _padd(w_k[-1], -2.0 * conv(b2, u_k[-1]))
+        w_n = -conv(c2, u_k[-1])
+        u_k.append(u_n)
+        w_k.append(w_n)
+    p = jnp.zeros((1,), dtype)
+    q = jnp.zeros((1,), dtype)
+    for k in range(R1.shape[0]):
+        p = _padd(p, conv(R1[k], u_k[k]))
+        q = _padd(q, conv(R1[k], w_k[k]))
+    # Product over the two E23 roots: (p l2+ + q)(p l2- + q)
+    #   = p^2 c2 - 2 b2 p q + q^2  -> the univariate resultant in lam3.
+    F = _padd(_padd(conv(conv(p, p), c2), -2.0 * conv(conv(b2, p), q)),
+              conv(q, q))
+    # R1 has total degree 4 in (lam2, lam3), so the resultant's true degree
+    # is 8; entries above that are cancellation noise from the convolution
+    # chain — drop them before root finding (they would poison the
+    # Fujiwara scaling with a near-zero leading coefficient).
+    F = F[:9]
+
+    roots, valid = poly.solve_poly_real(F[::-1])  # highest-first
+    n_roots = roots.shape[0]
+
+    def recover(lam3, ok):
+        db1 = b1[0] + b1[1] * lam3
+        dc1 = c1[0] + c1[1] * lam3 + c1[2] * lam3 * lam3
+        db2 = b2[0] + b2[1] * lam3
+        dc2 = c2[0] + c2[1] * lam3 + c2[2] * lam3 * lam3
+        s1 = jnp.sqrt(jnp.maximum(db1 * db1 - dc1, 0.0))
+        s2 = jnp.sqrt(jnp.maximum(db2 * db2 - dc2, 0.0))
+        l1s = jnp.stack([-db1 + s1, -db1 - s1])
+        l2s = jnp.stack([-db2 + s2, -db2 - s2])
+
+        def e12(l1, l2):
+            x1 = v[0] + l1 * f[0]
+            x2 = v[1] + l2 * f[1]
+            return jnp.abs(jnp.sum((x1 - x2) ** 2) - d2[0])
+
+        r = jax.vmap(lambda l1: jax.vmap(lambda l2: e12(l1, l2))(l2s))(l1s)
+        flat = jnp.argmin(r.reshape(-1))
+        l1 = l1s[flat // 2]
+        l2 = l2s[flat % 2]
+        resid = r.reshape(-1)[flat]
+        good = (ok & (resid < 1e-4) & (l1 > 0) & (l2 > 0) & (lam3 > 0)
+                & (db1 * db1 - dc1 >= -1e-9) & (db2 * db2 - dc2 >= -1e-9))
+        return jnp.stack([l1, l2, lam3]), good
+
+    lam, good = jax.vmap(recover)(roots, valid)  # (R, 3), (R,)
 
     def align(lams):
         X = v + lams[:, None] * f          # rig-frame triangle (normalized)
@@ -207,7 +252,14 @@ def gp3p_kneip(points_w, origins, bearings, n_grid: int = 512,
         return g7[:7]
 
     T = jax.vmap(align)(lam)
-    return T, valid
+    return T, good
+
+
+def _padd(a, b):
+    """Add two lowest-first coefficient arrays of different lengths."""
+    n = max(a.shape[0], b.shape[0])
+    return (jnp.pad(a, (0, n - a.shape[0]))
+            + jnp.pad(b, (0, n - b.shape[0])))
 
 
 def generalized_reprojection_angular_error(T_rig_w, points_w, origins,
@@ -241,8 +293,7 @@ def generalized_absolute_pose_ransac(
     idx = ransac.sample_minimal_sets(key, mask, n_hypotheses, 3)
 
     def solve_one(ix):
-        return gp3p_kneip(points_w[ix], origins[ix], bearings[ix],
-                          n_grid=128, bisect_iters=32)
+        return gp3p_kneip(points_w[ix], origins[ix], bearings[ix])
 
     T, valid = jax.vmap(solve_one)(idx)  # (H, 8, 7), (H, 8)
     T = T.reshape(-1, 7)

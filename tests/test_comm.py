@@ -216,3 +216,41 @@ def test_server_end_to_end(server):
     assert os.path.exists(path)
     lines = open(path).read().strip().splitlines()
     assert len(lines) == 12
+
+
+def test_admin_default_map_after_merge(server):
+    """After two agents merge into one map, the absorbed map id is gone;
+    a default (no --map-id) gba/pgo/savemap must resolve to the live map
+    instead of KeyError-ing on id 0 (found by the e2e drive)."""
+    srv, port, world, out_dir = server
+    c0 = AgentClient("127.0.0.1", port)
+    c1 = AgentClient("127.0.0.1", port)
+    a0 = SyntheticAgent(world, client_id=c0.client_id, n_keyframes=14)
+    a1 = SyntheticAgent(world, client_id=c1.client_id, n_keyframes=14,
+                        t0=3.0)
+    for m in a0.messages():
+        c0.send(m)
+    for m in a1.messages():
+        c1.send(m)
+    deadline = time.time() + 120
+    merged = False
+    while time.time() < deadline and not merged:
+        stats = c0.admin("stats")
+        merged = any(s.get("merges", 0) > 0
+                     for s in stats["result"]["sessions"].values())
+        if not merged:
+            time.sleep(0.3)
+    assert merged, stats
+    assert len(stats["result"]["maps"]) == 1
+    live_id = int(next(iter(stats["result"]["maps"])))
+    # default verbs resolve to the surviving map, whatever its id
+    r = c0.admin("gba", visual_only=True)
+    assert r.get("result", {}).get("ok"), r
+    r = c0.admin("pgo")
+    assert r.get("result", {}).get("ok"), r
+    # an explicit dead id reports the live ids instead of crashing
+    dead = 1 - live_id if live_id in (0, 1) else 0
+    r = c0.admin("gba", map_id=dead)
+    assert "error" in r and "live" in r["error"], r
+    c0.finish()
+    c1.finish()
