@@ -573,18 +573,23 @@ class PlaceRecognition:
                 # iq*Fq+f layout as `dist`, so the global padded indices index
                 # them directly (pad rows are masked by m5).
                 # minimal 5-pt (Nister; reference STEWENIUS parity) or
-                # linear 8-pt, per `rel_minimal_solver`
-                central_ransac = (
-                    epipolar.relative_pose_ransac_central_5pt
-                    if cfg.rel_minimal_solver == "5pt"
-                    else epipolar.relative_pose_ransac_central
-                )
+                # linear 8-pt, per `rel_minimal_solver`.  Each 5-pt sample
+                # yields up to 10 essentials (vs the 8-pt's single E), so
+                # a quarter of the hypothesis budget scores the same
+                # number of candidate poses at the better minimal-sample
+                # inlier odds.
+                if cfg.rel_minimal_solver == "5pt":
+                    central_ransac = epipolar.relative_pose_ransac_central_5pt
+                    n_hyp = min(max(cfg.rel_max_iters // 4, 16), 64)
+                else:
+                    central_ransac = epipolar.relative_pose_ransac_central
+                    n_hyp = min(cfg.rel_max_iters, 256)
                 out5 = central_ransac(
                     self._next_key(),
                     qbear[jnp.asarray(pq)],
                     cbear[jnp.asarray(pc)],
                     m5,
-                    n_hypotheses=min(cfg.rel_max_iters, 256),
+                    n_hypotheses=n_hyp,
                     threshold_rad=thr5,
                 )
                 if int(out5["n_inliers"]) < cfg.rel_min_inliers:

@@ -293,7 +293,10 @@ def essential_5pt(fa, fb):
         + conv(Bz[0], det2(Bx, By, 1, 2))
     )  # (11,)
 
-    z_roots, valid = poly.solve_poly_real(p10)
+    # Nister-poly roots are O(1) after the solver's Fujiwara rescale, so a
+    # modest grid resolves them; 1024 points measurably slowed the CPU
+    # test lane for no accuracy gain.
+    z_roots, valid = poly.solve_poly_real(p10, n_grid=256, bisect_iters=44)
 
     # back-substitute each root: [Bx(z) By(z)] [x y]^T = -Bz(z), 3x2 lsq
     def at_z(coeffs, z):

@@ -15,9 +15,14 @@ Jobs:
 3. Persistent XLA compilation cache: the suite's cost is dominated by
    recompiles of the same kernels across processes/runs; cache them on
    disk.
-4. Fast/slow lanes: tests marked `slow` (multi-agent end-to-end scenarios)
+4. Fast/slow lanes: tests marked `slow` (multi-agent end-to-end scenarios,
+   socket E2E, the sharded-GBA exactness compare, fake-EuRoC server runs)
    are skipped by default; run them with `--runslow` or COVINS_RUN_SLOW=1.
-   The default lane is the sub-5-minute correctness gate.
+   The default lane is the per-commit correctness gate: every kernel and
+   subsystem unit-tested, one loop-closure and one merge integration kept.
+   Measured ~5 min warm / ~10 min cold on a 2-vCPU container (XLA compile
+   dominates; scales down with cores and the persistent compile cache).
+   The slow lane adds the full scenario matrix (~25 min cold on 2 vCPU).
 """
 
 import os

@@ -120,6 +120,7 @@ def test_agent_reconnect_resume(server):
     c2.finish()
 
 
+@pytest.mark.slow
 def test_update_planes_end_to_end(tmp_path):
     """Both update planes over real TCP:
 
@@ -218,13 +219,16 @@ def test_server_end_to_end(server):
     assert len(lines) == 12
 
 
+@pytest.mark.slow
 def test_admin_default_map_after_merge(server):
     """After two agents merge into one map, the absorbed map id is gone;
     a default (no --map-id) gba/pgo/savemap must resolve to the live map
     instead of KeyError-ing on id 0 (found by the e2e drive)."""
     srv, port, world, out_dir = server
-    c0 = AgentClient("127.0.0.1", port)
-    c1 = AgentClient("127.0.0.1", port)
+    # generous socket timeout: the worker may be mid-verification (RANSAC
+    # compiles on first hit) when the admin frame lands
+    c0 = AgentClient("127.0.0.1", port, timeout=300.0)
+    c1 = AgentClient("127.0.0.1", port, timeout=300.0)
     a0 = SyntheticAgent(world, client_id=c0.client_id, n_keyframes=14)
     a1 = SyntheticAgent(world, client_id=c1.client_id, n_keyframes=14,
                         t0=3.0)

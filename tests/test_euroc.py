@@ -61,6 +61,7 @@ def test_fake_euroc_agent_stream(fake_seq):
     assert (counts >= 2).sum() > 20, "no multi-view tracks survived"
 
 
+@pytest.mark.slow
 def test_fake_euroc_two_agent_server_run(fake_seq, tmp_path):
     """The orchestration driver (scripts/run_euroc.py — the analog of
     `euroc_examples_mh12345_vigba.sh`) on two fake sequences: server +

@@ -245,3 +245,59 @@ def test_dbow2_text_roundtrip(tmp_path):
     np.testing.assert_array_equal(voc.node_desc, voc2.node_desc)
     np.testing.assert_array_equal(voc.children, voc2.children)
     np.testing.assert_allclose(voc.node_weight, voc2.node_weight, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_record_cfs_and_frontend_cli(tmp_path):
+    """The full recorded-stream attachment pipeline on real PNGs:
+    fake-EuRoC -> scripts/record_cfs.py -> CFS file -> `covins-tpu
+    frontend` -> live server (COVINS-G)."""
+    import os
+    import subprocess
+    import sys
+    import time as _t
+
+    from covins_tpu.utils.fake_euroc import write_fake_sequence
+
+    seq = write_fake_sequence(str(tmp_path / "seq"), n_keyframes=12,
+                              n_landmarks=300, seed=4)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    cfs_path = str(tmp_path / "run.cfs")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "record_cfs.py"),
+         "--euroc", seq, "--out", cfs_path, "--with-imu"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert os.path.getsize(cfs_path) > 1000
+
+    out = str(tmp_path / "srv")
+    srv = subprocess.Popen(
+        [sys.executable, "-m", "covins_tpu.cli", "server", "--port", "9971",
+         "--output-dir", out, "--placerec-type", "COVINS_G"],
+        cwd=repo, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    try:
+        deadline = _t.time() + 120
+        os.makedirs(out, exist_ok=True)
+        import socket as _s
+        while _t.time() < deadline:
+            try:
+                _s.create_connection(("127.0.0.1", 9971), timeout=1).close()
+                break
+            except OSError:
+                _t.sleep(0.5)
+        r = subprocess.run(
+            [sys.executable, "-m", "covins_tpu.cli", "frontend",
+             "--stream", cfs_path, "--port", "9971",
+             "--kf-t-min", "0.05", "--kf-r-min", "0.05"],
+            cwd=repo, env=env, capture_output=True, text=True, timeout=900)
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "sent" in r.stdout
+        n_sent = int(r.stdout.split("sent ")[1].split()[0])
+        assert n_sent >= 5, r.stdout
+    finally:
+        srv.terminate()
+        srv.wait(timeout=30)

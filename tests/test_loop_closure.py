@@ -212,6 +212,7 @@ def test_fuse_landmark_keeps_conflicted():
 # -------------------------------------------------- end-to-end loop + fusion
 
 
+@pytest.mark.slow
 def test_loop_closure_fuses_duplicate_landmarks(world, vocab):
     """A single agent revisiting the same area mints duplicate landmark
     ids (track loss); the loop closure must fuse them (`FuseLandmark`) —
@@ -233,6 +234,7 @@ def test_loop_closure_fuses_duplicate_landmarks(world, vocab):
     assert live < mp.n_lm
 
 
+@pytest.mark.slow
 def test_merge_shares_landmarks_across_agents(world, vocab):
     """After a two-agent merge with fusion, at least one landmark must be
     observed by keyframes of BOTH agents (the dedup criterion)."""

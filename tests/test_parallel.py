@@ -51,6 +51,7 @@ def test_sharded_hamming_knn_exact(mesh):
     np.testing.assert_array_equal(np.asarray(dist_k[:, 1]), ref_sorted[:, 1])
 
 
+@pytest.mark.slow
 def test_sharded_gba_step_matches_single_device(mesh):
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))

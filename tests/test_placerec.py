@@ -113,6 +113,7 @@ def test_two_agent_map_merge(world, vocab):
     assert rmse < 0.3, rmse
 
 
+@pytest.mark.slow
 def test_covins_g_mode(world, vocab):
     cfg = _test_config(
         placerec_type="COVINS_G",

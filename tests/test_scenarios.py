@@ -76,6 +76,7 @@ def _map_ate(mp, world_agents):
     return float(np.sqrt(np.mean(e)))
 
 
+@pytest.mark.slow
 def test_config2_single_agent_vigba(world, vocab):
     """single-agent full VI-GBA with Schur landmark elimination."""
     cfg = _cfg(perform_pgo=False)
@@ -93,6 +94,7 @@ def test_config2_single_agent_vigba(world, vocab):
     assert ate_after < ate_before
 
 
+@pytest.mark.slow
 def test_config3_two_agent_fusion_joint_gba(world, vocab):
     """2-agent map fusion via loop closure + joint GBA."""
     cfg = _cfg()
@@ -109,6 +111,7 @@ def test_config3_two_agent_fusion_joint_gba(world, vocab):
     assert _map_ate(mp, ref_agents) < 0.25
 
 
+@pytest.mark.slow
 def test_config4_five_agent_redundancy(world, vocab):
     """5-agent collaborative session + redundancy removal + re-opt."""
     cfg = _cfg(perform_pgo=False)
@@ -132,6 +135,7 @@ def test_config4_five_agent_redundancy(world, vocab):
     assert int(mp.kf_mask[: mp.n_kf].sum()) == n_before - removed
 
 
+@pytest.mark.slow
 def test_config5_covins_g_generic_mode(world, vocab):
     """COVINS-G mode: no map points needed for the loop transform."""
     cfg = _cfg(placerec_type="COVINS_G", nc_min_inliers=30,
@@ -191,6 +195,7 @@ def test_visual_export_product_wiring(world, vocab, tmp_path):
     assert len(snap["agents"]["0"]["poses"]) == 12
 
 
+@pytest.mark.slow
 def test_loadmap_placerec_replay_merges(world, vocab, tmp_path):
     """`covins_loadmap` with placerec replay (`backend.cpp:247-283`): two
     maps built by separate single-agent runs over the same world are

@@ -2,6 +2,7 @@
 `feat.desc_length: 128` — `config_backend.yaml:28-29`)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from covins_tpu.agents.synthetic_agent import SyntheticAgent, SyntheticWorld
@@ -22,6 +23,7 @@ def test_l2_vocabulary_and_retrieval():
     assert w.min() >= 0 and w.max() < 64
 
 
+@pytest.mark.slow
 def test_sift_covins_g_loop():
     world = SyntheticWorld.create(n_landmarks=600, desc_bytes=128, seed=4,
                                   feat_type="SIFT")
