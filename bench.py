@@ -35,7 +35,7 @@ N_AGENTS = 2
 N_KF = 128           # keyframes per agent
 N_LANDMARKS = 2000
 VOCAB_WORDS = 512
-WINDOW = 64          # messages per drained window (server drains <=256)
+WINDOW = 256         # messages per drained window (= the server's drain cap)
 
 
 def build_streams():

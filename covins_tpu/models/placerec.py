@@ -419,10 +419,14 @@ class PlaceRecognition:
         both = q_lm_of_feat[all_pairs[:, 0]] >= 0
         q_lm_sel = q_lm_of_feat[all_pairs[both, 0]]
         c_lm_sel = all_pairs[both, 1]
-        T_sq_w = geo.pose_inverse(jnp.asarray(mp_q.kf_pose[q_row]))
-        T_sc_w = geo.pose_inverse(T_wc_sc)
-        p1 = np.asarray(geo.pose_apply(T_sq_w[None], jnp.asarray(mp_q.lm_pos[q_lm_sel])))
-        p2 = np.asarray(geo.pose_apply(T_sc_w[None], jnp.asarray(mp_c.lm_pos[c_lm_sel])))
+        # pure-host frame changes (lm_pos / kf_pose are numpy): avoids two
+        # device round-trips per verification — on the tunneled chip every
+        # host<->device sync costs ~34 ms
+        from covins_tpu.utils import npgeo as _npg
+        T_sq_w_np = _npg.pose_inverse(mp_q.kf_pose[q_row])
+        T_sc_w_np = _npg.pose_inverse(mp_c.kf_pose[c_row])  # == inv(T_wc_sc)
+        p1 = _npg.pose_apply(T_sq_w_np, mp_q.lm_pos[q_lm_sel])
+        p2 = _npg.pose_apply(T_sc_w_np, mp_c.lm_pos[c_lm_sel])
         p1, nm2 = _pad_rows(p1, base=64)
         p2, _ = _pad_rows(p2, base=64)
         gn_mask = jnp.arange(len(p1)) < nm2
@@ -430,9 +434,10 @@ class PlaceRecognition:
             cam_q, cam_c, T_12_est, jnp.asarray(p1), jnp.asarray(p2), gn_mask,
             th_outlier=cfg.th_outlier_align,
         )
-        if int(n_inl) < cfg.inliers_thres:
+        T_12, n_inl = jax.device_get((T_opt, n_inl))  # ONE sync
+        n_inl = int(n_inl)
+        if n_inl < cfg.inliers_thres:
             return None
-        T_12 = np.asarray(T_opt)
 
         # ---- stage 5: loop-neighborhood projection + total gate -----------
         # landmarks of the candidate's covisible keyframes + itself

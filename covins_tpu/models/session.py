@@ -70,8 +70,16 @@ class AgentSession:
 
         Returns the list of non-None loop/merge outcomes."""
         finalized: list[tuple] = []
+        lm_buffer: list = []  # consecutive landmark msgs, bulk-inserted
+
+        def flush_lms():
+            if lm_buffer:
+                self._current_map().add_landmarks_batch(lm_buffer)
+                lm_buffer.clear()
+
         for msg in messages:
             if isinstance(msg, msgs.MsgKeyframe):
+                flush_lms()
                 mp = self._current_map()
                 if mp.kf_row(tuple(msg.id)) >= 0:  # resumed agent replaying
                     self.stats["duplicates"] += 1
@@ -89,11 +97,13 @@ class AgentSession:
                 mp = self._current_map()
                 if mp.lm_row(tuple(msg.id)) >= 0:
                     # re-sent landmark: merge new observations + refresh pos
-                    # (`communicator_be.cpp:172-176`)
+                    # (`communicator_be.cpp:172-176`).  Flush first so an
+                    # intra-window insert of the same id keeps stream order.
+                    flush_lms()
                     self.stats["duplicates"] += 1
                     mp.add_landmark(msg)
                     continue
-                mp.add_landmark(msg)
+                lm_buffer.append(msg)
                 self.stats["landmarks"] += 1
             elif isinstance(msg, msgs.MsgKeyframeUpdate):
                 if self.cfg.send_updates:
@@ -104,6 +114,7 @@ class AgentSession:
                     self._current_map().update_landmark_pos(msg)
             else:
                 raise TypeError(f"unknown message type {type(msg)}")
+        flush_lms()
         return self._finalize_many(finalized)
 
     def _finalize_many(self, kf_ids: list) -> list:
