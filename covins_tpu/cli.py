@@ -52,6 +52,12 @@ def cmd_server(args):
     cfg = (Config.from_yaml(*args.config) if args.config else Config())
     if args.placerec_type:
         cfg.placerec_type = args.placerec_type
+    if args.sync_placerec:
+        cfg.placerec_defer = False
+    elif not args.config:
+        # server default: placerec defers to worker-idle windows (the
+        # reference's dedicated thread); YAML `placerec.defer` overrides
+        cfg.placerec_defer = True
     vocab = _load_or_make_vocab(args)
     server = CovinsServer(vocab, cfg, host=args.host, port=args.port,
                           output_dir=args.output_dir)
@@ -169,6 +175,9 @@ def main(argv=None):
     s.add_argument("--vocab-words", type=int, default=512)
     s.add_argument("--output-dir", default="output")
     s.add_argument("--placerec-type", choices=["COVINS", "COVINS_G"])
+    s.add_argument("--sync-placerec", action="store_true",
+                   help="run place recognition inline with ingest instead "
+                        "of deferred to worker-idle windows")
     s.set_defaults(fn=cmd_server)
 
     a = sub.add_parser("agent", help="run a replay agent")

@@ -70,6 +70,17 @@ class CovinsServer:
                 try:
                     item = self._work.get(timeout=0.2)
                 except queue.Empty:
+                    # idle: drain deferred place recognition (the
+                    # reference's PlaceRecognition-thread work, scheduled
+                    # at lower priority than ingest; single-writer kept)
+                    for sess in list(self.sessions.values()):
+                        if sess.placerec_backlog:
+                            try:
+                                sess.drain_placerec(max_items=4)
+                            except Exception as e:
+                                print(f"[covins-server] placerec error: "
+                                      f"{e!r}")
+                            break
                     continue
             kind, payload, done = item
             try:
@@ -79,7 +90,7 @@ class CovinsServer:
                     # across keyframes (stop at the first control item)
                     batches: Dict[int, list] = {payload[0]: [payload[1]]}
                     drained = 1
-                    while drained < 256:
+                    while drained < 2048:
                         try:
                             nxt = self._work.get_nowait()
                         except queue.Empty:

@@ -151,7 +151,8 @@ class KeyframeDatabase:
         self._mask[row] = False
         return True
 
-    def add_and_query_batch(self, kf_ids: list, descs_list: list):
+    def add_and_query_batch(self, kf_ids: list, descs_list: list,
+                            lazy: bool = False):
         """Insert a window of keyframes in one device dispatch and return
         per-query RAW retrieval data with sequential-query semantics.
 
@@ -202,8 +203,16 @@ class KeyframeDatabase:
             jnp.asarray(dest), self.metric,
         )
         self._db = db
-        scores = np.asarray(scores[:w, :n_after])
-        common = np.asarray(common[:w, :n_after])
+        if lazy:
+            # leave the score/common slices on device (async); the
+            # deferred-placerec drain fetches all queued windows in one
+            # device_get — the ingest path never blocks on the chip
+            scores = scores[:w, :n_after]
+            common = common[:w, :n_after]
+        else:
+            import jax
+            scores, common = jax.device_get(  # one sync, not two
+                (scores[:w, :n_after], common[:w, :n_after]))
 
         # host bookkeeping for the fresh rows
         for i in fresh:

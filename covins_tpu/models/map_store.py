@@ -62,6 +62,9 @@ class Map:
     ):
         self.id = map_id
         self.associated_clients: set[int] = set()
+        # lazily-dispatched landmark-attribute cohorts (see
+        # update_landmark_attributes(lazy=True) / commit_landmark_attributes)
+        self._pending_lm_attrs: list = []
         # optional backref to the retrieval database so culled keyframes are
         # dropped from the index (`MapManager::EraseFromDatabase`,
         # `map_be.cpp:169-177`); set by the MapManager
@@ -311,15 +314,20 @@ class Map:
                   f"{len(self._lm_index)} LMs", flush=True)
             self.write_trajectories(self.traj_dir, fmt=self.traj_fmt)
 
-        # landmark observations carried on the KF message
+        # landmark observations carried on the KF message (vectorized:
+        # the old per-feature Python loop cost ~1 ms/KF at 500 features)
         if msg.landmark_ids is not None:
-            for feat_idx in range(nf):
-                lid = int(msg.landmark_ids[feat_idx])
-                if lid < 0:
-                    continue
-                lrow = self.lm_row((lid, client_id))
-                if lrow >= 0:
-                    self.add_observation(row, lrow, feat_idx)
+            lids = np.asarray(msg.landmark_ids[:nf], np.int64)
+            feats = np.where(lids >= 0)[0]
+            if len(feats):
+                lrows = np.asarray(
+                    [self._lm_index.get((int(l), client_id), -1)
+                     for l in lids[feats]], np.int64)
+                sel = lrows >= 0
+                if sel.any():
+                    self._add_observations_bulk(
+                        np.full(int(sel.sum()), row, np.int64),
+                        lrows[sel], feats[sel].astype(np.int64))
         return row
 
     def add_landmark(self, msg: msgs.MsgLandmark) -> int:
@@ -419,11 +427,19 @@ class Map:
             for m in resends_after:
                 self.add_landmark(m)
             return
-        ok = np.asarray(obs_k, np.int64)
-        ol = np.asarray(obs_l, np.int64)
-        of = np.asarray(obs_f, np.int64)
-        # fast path: slots that are unbound AND unique within this batch;
-        # everything else goes through add_observation's conflict guard
+        self._add_observations_bulk(
+            np.asarray(obs_k, np.int64), np.asarray(obs_l, np.int64),
+            np.asarray(obs_f, np.int64))
+        for m in resends_after:
+            self.add_landmark(m)
+
+    def _add_observations_bulk(self, ok, ol, of) -> None:
+        """Append many (kf_row, lm_row, feat) observations at once.
+
+        Fast path: feature slots that are unbound AND unique within the
+        batch append as slice writes; everything else routes through
+        :meth:`add_observation`'s conflict guard for identical semantics.
+        """
         slot = ok * np.int64(self.kf_feat_lm.shape[1]) + of
         _, first, counts = np.unique(slot, return_index=True,
                                      return_counts=True)
@@ -442,8 +458,6 @@ class Map:
             self.kf_feat_lm[ok[clean], of[clean]] = ol[clean]
         for j in np.where(~clean)[0]:
             self.add_observation(int(ok[j]), int(ol[j]), int(of[j]))
-        for m in resends_after:
-            self.add_landmark(m)
 
     def update_landmark_pos(self, msg) -> bool:
         """`Landmark::UpdatePosFromMsg` (`landmark_be.cpp:222-238`):
@@ -679,6 +693,8 @@ class Map:
         """Union `other` into self, rigidly transforming the fused map's
         poses/velocities/landmarks by ``T_wtarget_wtofuse`` (the merged-map
         constructor, `map_be.cpp:334-381`)."""
+        self.commit_landmark_attributes()
+        other.commit_landmark_attributes()
         T = np.asarray(T_wtarget_wtofuse, np.float64)
         kf_off = self.n_kf
         lm_off = self.n_lm
@@ -776,6 +792,7 @@ class Map:
     def save(self, path: str):
         """Columnar checkpoint (one npz instead of the reference's
         file-per-KF cereal dump, `map_be.cpp:813-922`)."""
+        self.commit_landmark_attributes()
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         arrays = {}
         for name in (
@@ -1182,9 +1199,17 @@ class Map:
         self.lm_optimized[:m][lml] = True
         self.obs_mask[: self.n_obs] = np.asarray(problem.obs_mask)
 
-    def update_landmark_attributes(self, lm_rows=None, max_obs_pad: int = 16):
+    def update_landmark_attributes(self, lm_rows=None, max_obs_pad: int = 16,
+                                   lazy: bool = False):
         """Batched representative-descriptor + normal refresh for a cohort
-        of landmarks (the per-KF ingest loop of `communicator_be.cpp:181-205`)."""
+        of landmarks (the per-KF ingest loop of `communicator_be.cpp:181-205`).
+
+        With ``lazy=True`` the device work is dispatched asynchronously and
+        the write-back deferred until :meth:`commit_landmark_attributes` —
+        the ingest hot path then performs NO host<->device sync (each sync
+        costs ~34 ms through the tunneled chip); consumers of lm_desc /
+        lm_normal / lm_dist_rng (loop verification, save, merge) commit
+        first."""
         import jax.numpy as jnp
         from covins_tpu.ops import landmark_ops
 
@@ -1229,28 +1254,53 @@ class Map:
             mask[ci, slots] = True
         lm_pos_pad = np.zeros((bucket, 3), np.float64)
         lm_pos_pad[:n_rows] = self.lm_pos[lm_rows]
-        rep = np.asarray(
-            landmark_ops.representative_descriptors(
-                jnp.asarray(descs), jnp.asarray(mask)
-            )
-        )[:n_rows]
-        nrm = np.asarray(
-            landmark_ops.landmark_normals(
-                jnp.asarray(lm_pos_pad), jnp.asarray(centers),
-                jnp.asarray(mask, jnp.float64),
-            )
-        )[:n_rows]
-        rng = np.asarray(
-            landmark_ops.distance_invariance(
-                jnp.asarray(lm_pos_pad), jnp.asarray(centers),
-                jnp.asarray(octaves), jnp.asarray(mask),
-            )
-        )[:n_rows]
+        import jax
+
+        rep_d = landmark_ops.representative_descriptors(
+            jnp.asarray(descs), jnp.asarray(mask)
+        )
+        nrm_d = landmark_ops.landmark_normals(
+            jnp.asarray(lm_pos_pad), jnp.asarray(centers),
+            jnp.asarray(mask, jnp.float64),
+        )
+        rng_d = landmark_ops.distance_invariance(
+            jnp.asarray(lm_pos_pad), jnp.asarray(centers),
+            jnp.asarray(octaves), jnp.asarray(mask),
+        )
+        if lazy:
+            # async dispatch only; write-back deferred (commit applies the
+            # pending cohorts in order, so last-write-wins is preserved)
+            self._pending_lm_attrs.append(
+                (lm_rows, n_rows, rep_d, nrm_d, rng_d, mask[:n_rows]))
+            return
+        # ONE host<->device sync for the whole cohort (each sync costs
+        # ~34 ms through the tunneled chip; three separate np.asarray
+        # fetches tripled that per ingest window)
+        rep, nrm, rng = jax.device_get((rep_d, nrm_d, rng_d))
+        rep, nrm, rng = rep[:n_rows], nrm[:n_rows], rng[:n_rows]
         mask = mask[:n_rows]
         any_obs = mask.any(axis=1)
         self.lm_desc[lm_rows[any_obs]] = rep[any_obs]
         self.lm_normal[lm_rows[any_obs]] = nrm[any_obs]
         self.lm_dist_rng[lm_rows[any_obs]] = rng[any_obs]
+
+    def commit_landmark_attributes(self) -> None:
+        """Apply all lazily-dispatched attribute cohorts with ONE sync."""
+        if not self._pending_lm_attrs:
+            return
+        import jax
+
+        pending = self._pending_lm_attrs
+        self._pending_lm_attrs = []
+        fetched = jax.device_get(
+            [(r, nm, rg) for _, _, r, nm, rg, _ in pending])
+        for (lm_rows, n_rows, _, _, _, mask), (rep, nrm, rng) in zip(
+                pending, fetched):
+            rep, nrm, rng = rep[:n_rows], nrm[:n_rows], rng[:n_rows]
+            any_obs = mask.any(axis=1)
+            self.lm_desc[lm_rows[any_obs]] = rep[any_obs]
+            self.lm_normal[lm_rows[any_obs]] = nrm[any_obs]
+            self.lm_dist_rng[lm_rows[any_obs]] = rng[any_obs]
 
     # ------------------------------------------------------------ trajectories
     def _trajectory_lines_tum(self, client_id: int) -> str:

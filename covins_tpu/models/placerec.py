@@ -183,10 +183,15 @@ class PlaceRecognition:
 
         if pre is not None:
             # host-side gating over the precomputed raw scores — mirrors
-            # `KeyframeDatabase.query` (0.8*max-common-words gate) exactly
-            raw_s = pre["scores"][:n_db]
-            raw_c = pre["common"][:n_db]
-            m = pre["valid"][:n_db] & ~excl
+            # `KeyframeDatabase.query` (0.8*max-common-words gate) exactly.
+            # Under deferred placerec the DB may have GROWN since this
+            # keyframe's insert; rows added later are not candidates
+            # (sequential semantics, as in the reference's in-order DB),
+            # so gate over the snapshot length.
+            n_pre = min(n_db, len(pre["scores"]))
+            raw_s = pre["scores"][:n_pre]
+            raw_c = pre["common"][:n_pre]
+            m = pre["valid"][:n_pre] & ~excl[:n_pre]
             if not m.any():
                 self._consistent_groups = []
                 return []
@@ -204,7 +209,8 @@ class PlaceRecognition:
         if pre is not None:
             # raw scores against db rows ARE cosine(query, row); restrict
             # to rows inserted before the query (sequential semantics)
-            covis_db = [r for r in covis_db if pre["valid"][r]]
+            covis_db = [r for r in covis_db
+                        if r < len(pre["valid"]) and pre["valid"][r]]
         if covis_db:
             if pre is not None:
                 sims = pre["scores"][covis_db]

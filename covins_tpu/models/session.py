@@ -48,6 +48,11 @@ class AgentSession:
             client_id, manager.database, manager.resolve, self.cfg
         )
         self._pending_kf_id: Optional[tuple] = None
+        # deferred place-recognition queue (cfg.placerec_defer): the
+        # reference runs detection/verification in its own thread
+        # (`placerec_be.cpp:508-537` CheckBuffer loop); here the queue is
+        # drained when the server worker is idle (single-writer preserved)
+        self._pr_queue: list = []
         self.stats = {"keyframes": 0, "landmarks": 0, "loops": 0,
                       "merges": 0, "duplicates": 0}
 
@@ -129,10 +134,14 @@ class AgentSession:
             return []
 
         # 1. one batched landmark-attribute refresh for the union cohort
+        # (lazy under deferred placerec: dispatch now, commit at drain —
+        # the ingest hot path then performs no host<->device sync at all)
+        defer = bool(self.cfg.placerec_defer)
         o = mp.n_obs
         row_arr = np.asarray([r for _, r in live], np.int64)
         sel = np.isin(mp.obs_kf[:o], row_arr) & mp.obs_mask[:o]
-        mp.update_landmark_attributes(np.unique(mp.obs_lm[:o][sel]))
+        mp.update_landmark_attributes(np.unique(mp.obs_lm[:o][sel]),
+                                      lazy=defer)
 
         # 2. one batched BoW insert+query for the window
         with_feats = [(k, r) for k, r in live if int(mp.kf_n_feat[r]) > 0]
@@ -142,20 +151,26 @@ class AgentSession:
                 [k for k, _ in with_feats],
                 [mp.pr_descriptors(r)[: int(mp.kf_n_feat[r])]
                  for _, r in with_feats],
+                lazy=defer,
             )
             pre_of = {k: p for (k, _), p in zip(with_feats, pres)}
 
         # 3. per-keyframe detection/verification on the precomputed scores
+        items = [(kf_id, pre_of.get(kf_id)) for kf_id, _ in live]
+        if self.cfg.placerec_defer:
+            self._pr_queue.extend(items)
+            return []
+        return self._run_placerec(items)
+
+    def _run_placerec(self, items) -> list:
         outcomes = []
-        for kf_id, _ in live:
+        for kf_id, pre in items:
             mp = self._current_map()  # may have merged mid-window
             row = mp.kf_row(kf_id)
             if row < 0:
                 continue
             with self.metrics.timer("placerec"):
-                loop = self.placerec.process_keyframe(
-                    mp, row, pre=pre_of.get(kf_id)
-                )
+                loop = self.placerec.process_keyframe(mp, row, pre=pre)
             if loop is None:
                 continue
             outcome = self.manager.handle_loop(loop)
@@ -167,11 +182,40 @@ class AgentSession:
                 outcomes.append(outcome)
         return outcomes
 
+    @property
+    def placerec_backlog(self) -> int:
+        return len(self._pr_queue)
+
+    def drain_placerec(self, max_items: Optional[int] = None) -> list:
+        """Run deferred detection/verification for up to `max_items`
+        queued keyframes (all, if None)."""
+        n = len(self._pr_queue) if max_items is None else min(
+            max_items, len(self._pr_queue))
+        items = self._pr_queue[:n]
+        del self._pr_queue[:n]
+        # commit lazily-dispatched state the verifiers read: landmark
+        # attributes (all maps — candidates may live elsewhere) and the
+        # queued windows' BoW scores, each in one batched sync
+        for mp in self.manager.maps.values():
+            mp.commit_landmark_attributes()
+        import jax
+
+        dev = [p for _, p in items
+               if p is not None and not isinstance(p["scores"], np.ndarray)]
+        if dev:
+            fetched = jax.device_get([(p["scores"], p["common"])
+                                      for p in dev])
+            for p, (s, c) in zip(dev, fetched):
+                p["scores"], p["common"] = s, c
+        return self._run_placerec(items)
+
     def flush(self) -> Optional[str]:
-        """Process the final buffered keyframe (agent finished)."""
-        if self._pending_kf_id is None:
-            return None
-        kf_id = self._pending_kf_id
-        self._pending_kf_id = None
-        out = self._finalize_many([kf_id])
-        return out[0] if out else None
+        """Process the final buffered keyframe and drain any deferred
+        place-recognition backlog (agent finished)."""
+        outs = []
+        if self._pending_kf_id is not None:
+            kf_id = self._pending_kf_id
+            self._pending_kf_id = None
+            outs = list(self._finalize_many([kf_id]))
+        outs += self.drain_placerec()
+        return outs[0] if outs else None

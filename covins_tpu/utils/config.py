@@ -75,6 +75,11 @@ class Config:
     # --- placerec ---
     placerec_active: bool = True
     placerec_type: str = "COVINS"  # {COVINS | COVINS_G}
+    # run detection/verification deferred (drained when the server worker
+    # is idle) instead of inline with ingest — the reference's dedicated
+    # PlaceRecognition thread (`placerec_be.cpp:508-537`); inline default
+    # keeps library/test call sites synchronous
+    placerec_defer: bool = False
     start_after_kf: int = 7
     consecutive_loop_dist: int = 10
     min_loop_dist: int = 100
@@ -166,6 +171,7 @@ class Config:
         "vis.snapshot_interval_kf": "vis_snapshot_interval_kf",
         "placerec.active": "placerec_active",
         "placerec.type": "placerec_type",
+        "placerec.defer": "placerec_defer",
         "placerec.start_after_kf": "start_after_kf",
         "placerec.consecutive_loop_dist": "consecutive_loop_dist",
         "placerec.min_loop_dist": "min_loop_dist",
