@@ -79,3 +79,18 @@ def test_sharded_gba_step_matches_single_device(mesh):
         np.asarray(st_sh[3])[: st_ref[3].shape[0]], np.asarray(st_ref[3]),
         atol=1e-9,
     )
+
+
+@pytest.mark.slow
+def test_driver_dryrun_multichip_entry():
+    """The driver's graded entry path: __graft_entry__.dryrun_multichip(8).
+
+    Covers the exact code the round driver executes (GBA train-step,
+    sharded retrieval, edge-sharded PGO, sharded Hamming kNN) so an edit
+    to any leg cannot land without this lane executing it.
+    """
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
