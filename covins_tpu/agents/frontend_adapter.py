@@ -196,12 +196,25 @@ class FrontendWrapper:
         if first.get("kind") == "calib":
             self.calib = cfs.read_calibration(first)
         else:
+            if self.calib is None:
+                raise ValueError(
+                    "CFS stream does not start with a calib record and the "
+                    "wrapper was constructed without a calibration — record "
+                    "the stream with a calib header (scripts/record_cfs.py) "
+                    "or pass calib= explicitly"
+                )
             records = _chain(first, records)
         for rec in records:
             if rec.get("kind") != "frame":
                 continue
             if "acc" in rec and "imu_dts" in rec:
-                self.feed_imu(rec["acc"], rec.get("gyro"), rec["imu_dts"])
+                if rec.get("gyro") is None:
+                    raise ValueError(
+                        f"frame at t={rec.get('timestamp')} carries acc/"
+                        "imu_dts but no gyro samples; IMU records need all "
+                        "three"
+                    )
+                self.feed_imu(rec["acc"], rec["gyro"], rec["imu_dts"])
             msg = self.process_frame(
                 timestamp=rec["timestamp"],
                 T_w_s=rec["T_w_s"],

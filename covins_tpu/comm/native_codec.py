@@ -64,7 +64,10 @@ class NativeCodec:
                 dtypes.append(b""); dtype_lens.append(0); ndims.append(0)
                 datas.append(vb); data_lens.append(len(vb))
             else:
-                arr = np.ascontiguousarray(val)
+                # match wire.encode_record: scalars stay 0-d
+                arr = np.asarray(val)
+                if arr.ndim:
+                    arr = np.ascontiguousarray(arr)
                 keep_alive.append(arr)
                 ds = arr.dtype.str.encode()
                 kinds.append(KIND_ARRAY)

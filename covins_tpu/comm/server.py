@@ -72,11 +72,14 @@ class CovinsServer:
                 except queue.Empty:
                     # idle: drain deferred place recognition (the
                     # reference's PlaceRecognition-thread work, scheduled
-                    # at lower priority than ingest; single-writer kept)
+                    # at lower priority than ingest; single-writer kept).
+                    # Verification is window-batched (one async dispatch
+                    # per candidate), so a large drain window amortizes the
+                    # device round-trip latency.
                     for sess in list(self.sessions.values()):
                         if sess.placerec_backlog:
                             try:
-                                sess.drain_placerec(max_items=4)
+                                sess.drain_placerec(max_items=32)
                             except Exception as e:
                                 print(f"[covins-server] placerec error: "
                                       f"{e!r}")
@@ -112,6 +115,20 @@ class CovinsServer:
                                                 self.cfg)
                             self.sessions[client_id] = sess
                         sess.ingest_many(window)
+                    # bounded deferred-placerec drain per processed window:
+                    # under sustained multi-agent traffic the idle-only
+                    # drain never runs and the backlog (plus its queued
+                    # device-resident BoW score buffers) grows without
+                    # bound, stalling loop closures until agent finish —
+                    # the reference schedules its PlaceRecognition thread
+                    # concurrently with ingest (`placerec_be.cpp:508-537`)
+                    for sess in self.sessions.values():
+                        if sess.placerec_backlog > 128:
+                            try:
+                                sess.drain_placerec(max_items=32)
+                            except Exception as e:
+                                print(f"[covins-server] placerec error: "
+                                      f"{e!r}")
                     self._maybe_export_snapshots()
                 elif kind == "finish":
                     client_id = payload

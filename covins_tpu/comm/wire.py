@@ -60,7 +60,11 @@ def encode_record(rec: Dict[str, object]) -> bytes:
             out.append(struct.pack("<I", len(vb)))
             out.append(vb)
         else:
-            arr = np.ascontiguousarray(val)
+            # np.ascontiguousarray promotes 0-d to 1-d; keep scalars 0-d so
+            # they decode back to scalars
+            arr = np.asarray(val)
+            if arr.ndim:
+                arr = np.ascontiguousarray(arr)
             ds = arr.dtype.str  # e.g. '<f8'
             out.append(struct.pack("<B", KIND_ARRAY))
             dsb = ds.encode()

@@ -33,8 +33,6 @@ import numpy as np
 
 from covins_tpu.models.kf_database import KeyframeDatabase
 from covins_tpu.models.map_store import Map
-from covins_tpu.ops import covisibility as cov_ops, descriptors as d_ops
-from covins_tpu.ops import epipolar, relpose
 from covins_tpu.utils import cameras as cam_mod
 from covins_tpu.utils import geometry as geo
 from covins_tpu.utils.config import Config
@@ -63,18 +61,6 @@ def _camera_of(mp: Map, client_id: int) -> cam_mod.Camera:
         cam_model=calib.cam_model,
         dist_model=calib.dist_model,
     )
-
-
-def _pad_rows(a: np.ndarray, base: int = 128):
-    """Zero-pad the leading axis to a power-of-two bucket (stable jit
-    signatures across the keyframe stream)."""
-    n = a.shape[0]
-    b = base
-    while b < n:
-        b *= 2
-    out = np.zeros((b,) + a.shape[1:], a.dtype)
-    out[:n] = a
-    return out, n
 
 
 def _temporal_neighbors(mp: Map, row: int, k: int = 10) -> np.ndarray:
@@ -191,7 +177,11 @@ class PlaceRecognition:
             n_pre = min(n_db, len(pre["scores"]))
             raw_s = pre["scores"][:n_pre]
             raw_c = pre["common"][:n_pre]
-            m = pre["valid"][:n_pre] & ~excl[:n_pre]
+            # AND the insert-time snapshot with the LIVE mask: rows erased
+            # between enqueue and drain (kf culling / prunemap) must not be
+            # candidate-eligible, matching the non-deferred `db.query` path
+            m = (pre["valid"][:n_pre] & self.db._mask[:n_pre]
+                 & ~excl[:n_pre])
             if not m.any():
                 self._consistent_groups = []
                 return []
@@ -295,9 +285,11 @@ class PlaceRecognition:
         return cands
 
     # -------------------------------------------------------- pose estimation
-    def compute_se3_covins(self, mp_q: Map, q_row: int, mp_c: Map, c_row: int):
-        """Landmark-based loop transform (`ComputeSE3`, `placerec_be.cpp:63-220`),
-        all five reference stages:
+    def dispatch_verify_covins(self, mp_q: Map, q_row: int,
+                               mp_c: Map, c_row: int):
+        """Landmark-based loop verification (`ComputeSE3`,
+        `placerec_be.cpp:63-220`), all five reference stages fused into ONE
+        asynchronous device dispatch (see `ops/loopverify.py`):
 
         1. batched landmark-descriptor matching (DenseMatcher role) with
            the `matches_thres` gate;
@@ -313,194 +305,55 @@ class PlaceRecognition:
            with the `total_matches_thres` accept gate
            (`placerec_be.cpp:176-219`).
 
-        Returns (T_12, n_inliers, matches (M,2) [q_feat, c_lm_row]) or None."""
-        from covins_tpu.ops import pnp, projmatch
-
-        cfg = self.cfg
-
-        def kf_landmarks(mp, row):
-            o = mp.n_obs
-            sel = (mp.obs_kf[:o] == row) & mp.obs_mask[:o]
-            return mp.obs_lm[:o][sel], mp.obs_feat[:o][sel]
-
-        q_lms, q_feats = kf_landmarks(mp_q, q_row)
-        c_lms, c_feats = kf_landmarks(mp_c, c_row)
-        same_map = mp_q is mp_c
-        thres = cfg.matches_thres if same_map else cfg.matches_thres_merge
-        if len(q_lms) < 3 or len(c_lms) < 3:
-            return None
-
-        # ---- stage 1: brute-force landmark matching -----------------------
-        dq, nq = _pad_rows(mp_q.descriptors[q_row, q_feats])
-        dc, nc = _pad_rows(mp_c.descriptors[c_row, c_feats])
-        dist = d_ops.hamming_distance_best(jnp.asarray(dq), jnp.asarray(dc))
-        dist = d_ops.masked_dist(
-            dist, jnp.arange(dq.shape[0]) < nq, jnp.arange(dc.shape[0]) < nc
-        )
-        midx = np.asarray(
-            d_ops.match_mutual_nn(dist, max_dist=cfg.desc_matching_th_low)
-        )[:nq]
-        matched = np.where(midx >= 0)[0]
-        if len(matched) < min(thres, 8):
-            return None
+        Returns an opaque job for `loopverify.finalize_covins_verify`
+        (None if host preconditions fail)."""
+        from covins_tpu.ops import loopverify
 
         cam_q = _camera_of(mp_q, int(mp_q.kf_ids[q_row, 1]))
         cam_c = _camera_of(mp_c, int(mp_c.kf_ids[c_row, 1]))
-        calib_q = mp_q.calib[int(mp_q.kf_ids[q_row, 1])]
-        focal = float(calib_q.intrinsics[0])
+        return loopverify.dispatch_covins_verify(
+            self._next_key(), mp_q, q_row, mp_c, c_row, self.cfg,
+            cam_q, cam_c,
+        )
 
-        # ---- stage 2: GP3P RANSAC (2D-3D) ---------------------------------
-        # query-side bearings are more reliable than query-side depths, so
-        # the hypothesis stage uses candidate-map 3D vs query bearings
-        # (`Se3Solver.cpp:59-110`), solved in the candidate world frame.
-        q_feat_matched = q_feats[matched]
-        c_lm_matched = c_lms[midx[matched]]
-        p_w_c = mp_c.lm_pos[c_lm_matched]  # (M, 3) candidate world
-        # DISTORTED pixels: back_project3 undistorts internally
-        uv_q = mp_q.kp_uv[q_row, q_feat_matched]
-        bear_q = np.asarray(
-            cam_mod.back_project3(cam_q, jnp.asarray(uv_q, jnp.float64))
-        )
-        pw_pad, nm = _pad_rows(p_w_c.astype(np.float64), base=64)
-        bq_pad, _ = _pad_rows(bear_q, base=64)
-        mmask = jnp.arange(len(pw_pad)) < nm
-        out = pnp.absolute_pose_ransac(
-            self._next_key(), jnp.asarray(pw_pad), jnp.asarray(bq_pad), mmask,
-            n_hypotheses=min(cfg.ransac_max_iterations, 512),
-            threshold_rad=float(
-                pnp.px_threshold_to_angular(cfg.ransac_class_threshold, focal)
-            ),
-        )
-        if int(out["n_inliers"]) < cfg.ransac_min_inliers:
-            return None
-        # query camera pose in candidate world; lift to body level
-        T_cq_wc = out["T_c_w"]
-        T_wc_cq = geo.pose_inverse(T_cq_wc)
-        T_wc_sq = geo.pose_compose(T_wc_cq, geo.pose_inverse(cam_q.T_s_c))
-        T_wc_sc = jnp.asarray(mp_c.kf_pose[c_row])
-        # T_12 = T_sq_sc = inv(T_wc_sq) o T_wc_sc  (candidate body -> query body)
-        T_12_est = geo.pose_compose(geo.pose_inverse(T_wc_sq), T_wc_sc)
+    def compute_se3_covins(self, mp_q: Map, q_row: int, mp_c: Map, c_row: int):
+        """Synchronous wrapper: dispatch + finalize in one call.
 
-        # ---- stage 3: SearchBySE3 — extend matches through the transform --
-        F = mp_q.max_features
-        calib_c = mp_c.calib[int(mp_c.kf_ids[c_row, 1])]
-        taken_q = np.zeros(F, bool)
-        taken_q[q_feat_matched] = True
-        # candidate KF's landmarks -> free query features, projecting with
-        # the estimated query pose IN CANDIDATE WORLD
-        cl_pad, ncl = _pad_rows(c_lms.astype(np.int32), base=128)
-        c_valid = np.arange(len(cl_pad)) < ncl
-        c_already = np.isin(cl_pad, c_lm_matched) & c_valid
-        T_cqw = geo.pose_compose(geo.pose_inverse(cam_q.T_s_c),
-                                 geo.pose_inverse(T_wc_sq))  # cand world -> q cam
-        mfeat, mdist = projmatch.project_match(
-            cam_q, T_cqw,
-            jnp.asarray(mp_c.lm_pos[cl_pad]),
-            jnp.asarray(mp_c.lm_desc[cl_pad]),
-            jnp.asarray(mp_c.lm_normal[cl_pad]),
-            jnp.asarray(c_valid & ~c_already & mp_c.lm_mask[cl_pad]),
-            jnp.asarray(mp_q.kp_uv[q_row], jnp.float64),
-            jnp.asarray(mp_q.descriptors[q_row]),
-            jnp.asarray(mp_q.kp_aors[q_row, :, 1], jnp.float64),
-            jnp.asarray(
-                (~taken_q) & (np.arange(F) < int(mp_q.kf_n_feat[q_row]))
-            ),
-            radius_px=cfg.search_radius_SE3,
-            max_dist=cfg.desc_matching_th_low,
-            img_w=calib_q.img_w, img_h=calib_q.img_h,
-            check_view_angle=False,
-            lm_dist_rng=jnp.asarray(mp_c.lm_dist_rng[cl_pad]),
-        )
-        mfeat = np.asarray(mfeat)[:ncl]
-        ext = np.where(mfeat >= 0)[0]
-        ext_pairs = (
-            np.stack([mfeat[ext], c_lms[ext]], axis=1)
-            if len(ext) else np.zeros((0, 2), np.int64)
-        )
-        init_pairs = np.stack([q_feat_matched, c_lm_matched], axis=1)
-        all_pairs = np.concatenate([init_pairs, ext_pairs]).astype(np.int64)
+        Returns (T_12, n_inliers, matches (M,2) [q_feat, c_lm_row]) or
+        None.  The batched drain path uses dispatch/finalize directly so a
+        window of candidates pays ONE host fetch each, overlapped."""
+        from covins_tpu.ops import loopverify
 
-        # ---- stage 4: GN refinement (3D-3D over pairs with both sides) ----
-        q_lm_of_feat = mp_q.kf_feat_lm[q_row]  # (F,)
-        both = q_lm_of_feat[all_pairs[:, 0]] >= 0
-        q_lm_sel = q_lm_of_feat[all_pairs[both, 0]]
-        c_lm_sel = all_pairs[both, 1]
-        # pure-host frame changes (lm_pos / kf_pose are numpy): avoids two
-        # device round-trips per verification — on the tunneled chip every
-        # host<->device sync costs ~34 ms
-        from covins_tpu.utils import npgeo as _npg
-        T_sq_w_np = _npg.pose_inverse(mp_q.kf_pose[q_row])
-        T_sc_w_np = _npg.pose_inverse(mp_c.kf_pose[c_row])  # == inv(T_wc_sc)
-        p1 = _npg.pose_apply(T_sq_w_np, mp_q.lm_pos[q_lm_sel])
-        p2 = _npg.pose_apply(T_sc_w_np, mp_c.lm_pos[c_lm_sel])
-        p1, nm2 = _pad_rows(p1, base=64)
-        p2, _ = _pad_rows(p2, base=64)
-        gn_mask = jnp.arange(len(p1)) < nm2
-        T_opt, inl, n_inl = relpose.optimize_relative_pose(
-            cam_q, cam_c, T_12_est, jnp.asarray(p1), jnp.asarray(p2), gn_mask,
-            th_outlier=cfg.th_outlier_align,
-        )
-        T_12, n_inl = jax.device_get((T_opt, n_inl))  # ONE sync
-        n_inl = int(n_inl)
-        if n_inl < cfg.inliers_thres:
-            return None
-
-        # ---- stage 5: loop-neighborhood projection + total gate -----------
-        # landmarks of the candidate's covisible keyframes + itself
-        covis_c = _covis_of(mp_c, c_row)
-        nbr_rows = list(np.where(covis_c > 0)[0]) + [c_row]
-        o = mp_c.n_obs
-        sel = np.isin(mp_c.obs_kf[:o], np.asarray(nbr_rows)) & mp_c.obs_mask[:o]
-        hood_lms = np.unique(mp_c.obs_lm[:o][sel])
-        hood_lms = hood_lms[~np.isin(hood_lms, all_pairs[:, 1])]
-        taken_q = np.zeros(F, bool)
-        taken_q[all_pairs[:, 0]] = True
-        n_total = len(all_pairs)
-        if len(hood_lms):
-            hl_pad, nhl = _pad_rows(hood_lms.astype(np.int32), base=256)
-            h_valid = np.arange(len(hl_pad)) < nhl
-            # corrected query pose: T_wc_sq from the refined transform
-            T_wc_sq_corr = geo.pose_compose(T_wc_sc, geo.pose_inverse(jnp.asarray(T_12)))
-            T_cqw_corr = geo.pose_compose(geo.pose_inverse(cam_q.T_s_c),
-                                          geo.pose_inverse(T_wc_sq_corr))
-            hfeat, _ = projmatch.project_match(
-                cam_q, T_cqw_corr,
-                jnp.asarray(mp_c.lm_pos[hl_pad]),
-                jnp.asarray(mp_c.lm_desc[hl_pad]),
-                jnp.asarray(mp_c.lm_normal[hl_pad]),
-                jnp.asarray(h_valid & mp_c.lm_mask[hl_pad]),
-                jnp.asarray(mp_q.kp_uv[q_row], jnp.float64),
-                jnp.asarray(mp_q.descriptors[q_row]),
-                jnp.asarray(mp_q.kp_aors[q_row, :, 1], jnp.float64),
-                jnp.asarray(
-                    (~taken_q) & (np.arange(F) < int(mp_q.kf_n_feat[q_row]))
-                ),
-                radius_px=cfg.search_radius_proj,
-                max_dist=cfg.desc_matching_th_low,
-                img_w=calib_q.img_w, img_h=calib_q.img_h,
-                check_view_angle=True,
-                lm_dist_rng=jnp.asarray(mp_c.lm_dist_rng[hl_pad]),
-            )
-            hfeat = np.asarray(hfeat)[:nhl]
-            hext = np.where(hfeat >= 0)[0]
-            if len(hext):
-                hood_pairs = np.stack([hfeat[hext], hood_lms[hext]], axis=1)
-                all_pairs = np.concatenate([all_pairs, hood_pairs.astype(np.int64)])
-            n_total = len(all_pairs)
-        if n_total < cfg.total_matches_thres:
-            return None
-        return T_12, int(n_inl), all_pairs.astype(np.int32)
+        job = self.dispatch_verify_covins(mp_q, q_row, mp_c, c_row)
+        return loopverify.finalize_covins_verify(job)
 
     def compute_se3_covins_g(self, mp_q: Map, q_row: int, mp_c: Map, c_row: int):
         """2D-only loop transform (`placerec_gen_be.cpp:82-167` +
         `RelNonCentralPosSolver`): per-pair ratio matching over the rigs'
         pose-estimation features with a per-pair CENTRAL relative-pose
         prefilter (the 5pt STEWENIUS stage, `RelNonCentralPosSolver.cpp:
-        127,343-377` — here the batched 8pt solver), multi-keyframe 17-pt
+        127,343-377` — the batched Nister 5pt by default, linear 8pt via
+        `placerec.rel_minimal_solver: 8pt`), multi-keyframe 17-pt
         non-central RANSAC over the surviving correspondences, sampling
         covariance with the `cov_thres` gate, and the yaw + translation
         gate (`placerec_gen_be.cpp:156-167`).  Returns (T_12, n_inliers,
         cov)."""
+        job = self.dispatch_verify_covins_g(mp_q, q_row, mp_c, c_row)
+        if job is None:
+            return None
+        return self.finalize_covins_g(job)
+
+    def dispatch_verify_covins_g(self, mp_q: Map, q_row: int,
+                                 mp_c: Map, c_row: int):
+        """Rig assembly + ONE fused async device dispatch of the COVINS-G
+        pipeline (`ops/loopverify._covinsg_verify_impl`): per-pair ratio
+        matching, the central 5pt/8pt prefilter for ALL rig pairs in a
+        single program (the round-4 port synced the host once per pair),
+        pooled 17-pt non-central RANSAC, and sampling covariance.  Returns
+        an opaque job for `finalize_covins_g`, or None when the rigs lack
+        features (host precondition)."""
+        from covins_tpu.ops import loopverify
+
         cfg = self.cfg
 
         def rig_rows(mp, row, want):
@@ -545,113 +398,76 @@ class PlaceRecognition:
         if qmask.sum() < cfg.rel_min_img_matches or cmask.sum() < cfg.rel_min_img_matches:
             return self._reject("rig_features", nq=int(qmask.sum()),
                                 nc=int(cmask.sum()))
-        if dq.dtype == np.uint8:
-            dist = d_ops.hamming_distance_best(jnp.asarray(dq), jnp.asarray(dc))
-        else:
-            # SIFT mode (`feat.type: SIFT`): L2 matching, FLANN role
-            # (`placerec_gen_be.cpp:82-126`); thresholds are linear L2
-            dist = jnp.sqrt(
-                d_ops.l2_distance_sq(jnp.asarray(dq), jnp.asarray(dc))
-            )
-        dist = d_ops.masked_dist(dist, jnp.asarray(qmask), jnp.asarray(cmask))
 
         focal = float(mp_q.calib[int(mp_q.kf_ids[q_row, 1])].intrinsics[0])
-        thr5 = math.atan2(cfg.rel_error_thres, focal)
+        # minimal 5-pt (Nister; reference STEWENIUS parity) or linear
+        # 8-pt, per `rel_minimal_solver`.  Each 5-pt sample yields up to
+        # 10 essentials (vs the 8-pt's single E), so a quarter of the
+        # hypothesis budget scores the same number of candidate poses at
+        # the better minimal-sample inlier odds.
+        if cfg.rel_minimal_solver == "5pt":
+            n_hyp5 = min(max(cfg.rel_max_iters // 4, 16), 64)
+        else:
+            n_hyp5 = min(cfg.rel_max_iters, 256)
+        # SIFT mode (`feat.type: SIFT`): L2 matching, FLANN role
+        # (`placerec_gen_be.cpp:82-126`); thresholds are linear L2
+        metric = "hamming" if dq.dtype == np.uint8 else "l2"
+        out = loopverify._covinsg_verify_impl(
+            self._next_key(),
+            qo, qd, co, cd,
+            jnp.asarray(dq), jnp.asarray(dc),
+            jnp.asarray(qmask), jnp.asarray(cmask),
+            qbear, cbear,
+            float(cfg.img_match_thres), float(cfg.ratio_thres),
+            math.atan2(cfg.rel_error_thres, focal),
+            cfg.rel_min_img_matches, cfg.rel_min_inliers,
+            math.atan2(cfg.nc_rp_error, focal), cfg.nc_min_inliers,
+            math.atan2(cfg.nc_rp_error_cov, focal),
+            float(cfg.nc_cov_thres),
+            nq_rig=len(q_rig), nc_rig=len(c_rig),
+            Fq=mp_q.max_features, Fc=mp_c.max_features,
+            n_hyp5=n_hyp5, n_hyp17=min(cfg.nc_max_iters, 512),
+            n_cov=2 * cfg.nc_cov_iters,
+            solver=cfg.rel_minimal_solver, metric=metric,
+        )
+        # candidate pose snapshot for the host-side yaw/translation gate
+        meta = {"T_w_s_cand": mp_c.kf_pose[c_row].copy()}
+        return meta, out
 
-        # per-pair matching + central relative-pose prefilter: every
-        # (query-rig KF, candidate-rig KF) pair must yield enough matches
-        # AND a consistent central pose, else the candidate is rejected
-        # (`RelNonCentralPosSolver::computeNonCentralRelPose`, `:61-144`);
-        # the surviving per-pair inliers feed the non-central stage.
-        Fq, Fc = mp_q.max_features, mp_c.max_features
-        qi_all, ci_all = [], []
-        for iq in range(len(q_rig)):
-            for jc in range(len(c_rig)):
-                block = dist[iq * Fq : (iq + 1) * Fq, jc * Fc : (jc + 1) * Fc]
-                midx = np.asarray(d_ops.match_ratio(
-                    block, max_dist=cfg.img_match_thres, ratio=cfg.ratio_thres
-                ))
-                matched = np.where(midx >= 0)[0]
-                if len(matched) < cfg.rel_min_img_matches:
-                    return self._reject("pair_matches", pair=(iq, jc),
-                                        n=len(matched))
-                gq = (iq * Fq + matched).astype(np.int32)
-                gc = (jc * Fc + midx[matched]).astype(np.int32)
-                pq, nm5 = _pad_rows(gq, base=64)
-                pc, _ = _pad_rows(gc, base=64)
-                m5 = jnp.arange(len(pq)) < nm5
-                # qbear/cbear are concatenated over ALL rig rows in the same
-                # iq*Fq+f layout as `dist`, so the global padded indices index
-                # them directly (pad rows are masked by m5).
-                # minimal 5-pt (Nister; reference STEWENIUS parity) or
-                # linear 8-pt, per `rel_minimal_solver`.  Each 5-pt sample
-                # yields up to 10 essentials (vs the 8-pt's single E), so
-                # a quarter of the hypothesis budget scores the same
-                # number of candidate poses at the better minimal-sample
-                # inlier odds.
-                if cfg.rel_minimal_solver == "5pt":
-                    central_ransac = epipolar.relative_pose_ransac_central_5pt
-                    n_hyp = min(max(cfg.rel_max_iters // 4, 16), 64)
-                else:
-                    central_ransac = epipolar.relative_pose_ransac_central
-                    n_hyp = min(cfg.rel_max_iters, 256)
-                out5 = central_ransac(
-                    self._next_key(),
-                    qbear[jnp.asarray(pq)],
-                    cbear[jnp.asarray(pc)],
-                    m5,
-                    n_hypotheses=n_hyp,
-                    threshold_rad=thr5,
+    def finalize_covins_g(self, job):
+        """ONE host fetch of the fused COVINS-G result, then the
+        yaw + translation gate (`placerec_gen_be.cpp:156-167`): the
+        relative yaw between the candidate's world yaw and the query's
+        loop-corrected world yaw, and the loop translation magnitude.
+        Returns (T_12, n_inliers, cov (6,6)) or None."""
+        from covins_tpu.utils import npgeo
+
+        cfg = self.cfg
+        meta, out = job
+        out = jax.device_get(out)
+        if not bool(out["ok"]):
+            if self._debug:
+                self._reject(
+                    "covins_g_fused", pairs_ok=bool(out["pairs_ok"]),
+                    n_pool=int(out["n_pool"]),
+                    n_inl17=int(out["n_inliers"]),
+                    cov_tr=float(np.trace(out["cov"])),
+                    pair_n_match=out["pair_n_match"].tolist(),
+                    pair_n_inl=out["pair_n_inl"].tolist(),
                 )
-                if int(out5["n_inliers"]) < cfg.rel_min_inliers:
-                    return self._reject("pair_5pt", pair=(iq, jc),
-                                        n_inl=int(out5["n_inliers"]),
-                                        need=cfg.rel_min_inliers)
-                inl5 = np.asarray(out5["inliers"])[: len(gq)]
-                qi_all.append(gq[inl5[: len(gq)]])
-                ci_all.append(gc[inl5[: len(gc)]])
+            return None
+        T_12 = np.asarray(out["T_12"])
+        cov = np.asarray(out["cov"])
+        T_21 = npgeo.pose_inverse(T_12)  # T_smatch_squery
+        T_w_s_cand = meta["T_w_s_cand"]
 
-        qall = np.concatenate(qi_all)
-        call = np.concatenate(ci_all)
-        if len(qall) < 17:
-            return self._reject("pooled_pairs", n=len(qall))
-        qi, nm = _pad_rows(qall.astype(np.int32), base=64)
-        ci, _ = _pad_rows(call.astype(np.int32), base=64)
-        match_mask = jnp.arange(len(qi)) < nm
-        va = qo[jnp.asarray(qi)]
-        fa = qd[jnp.asarray(qi)]
-        vb = co[jnp.asarray(ci)]
-        fb = cd[jnp.asarray(ci)]
-        thr = math.atan2(cfg.nc_rp_error, focal)
-        out = epipolar.relative_pose_ransac_noncentral(
-            self._next_key(), va, fa, vb, fb, match_mask,
-            n_hypotheses=min(cfg.nc_max_iters, 512),
-            threshold_rad=thr,
-        )
-        min_inl = min(cfg.nc_min_inliers, max(17, int(0.5 * nm)))
-        if int(out["n_inliers"]) < min_inl:
-            return self._reject("17pt", n_inl=int(out["n_inliers"]),
-                                need=min_inl)
+        def yaw_of(q):
+            R = npgeo.quat_to_matrix(np.asarray(q))
+            return math.atan2(R[1, 0], R[0, 0])  # ZYX yaw
 
-        thr_cov = math.atan2(cfg.nc_rp_error_cov, focal)
-        cov, n_used = epipolar.sampling_covariance(
-            self._next_key(), out["T_a_b"], va, fa, vb, fb, out["inliers"],
-            n_samples=2 * cfg.nc_cov_iters, threshold_rad=thr_cov,
-        )
-        cov = np.asarray(cov)
-        if float(np.trace(cov)) > cfg.nc_cov_thres:
-            return self._reject("cov_trace", tr=float(np.trace(cov)),
-                                thres=cfg.nc_cov_thres)
-
-        T_12 = np.asarray(out["T_a_b"])
-        # yaw + translation gate (`placerec_gen_be.cpp:156-167`): the
-        # relative yaw between the candidate's world yaw and the query's
-        # loop-corrected world yaw, and the loop translation magnitude
-        T_21 = np.asarray(geo.pose_inverse(jnp.asarray(T_12)))  # T_smatch_squery
-        T_w_s_cand = jnp.asarray(mp_c.kf_pose[c_row])
-        yaw_match = float(geo.rotation_to_ypr(geo.quat_to_matrix(T_w_s_cand[:4]))[0])
-        corrected = geo.pose_compose(T_w_s_cand, jnp.asarray(T_21))
-        yaw_query = float(geo.rotation_to_ypr(geo.quat_to_matrix(corrected[:4]))[0])
+        yaw_match = yaw_of(T_w_s_cand[:4])
+        corrected = npgeo.pose_compose(T_w_s_cand, T_21)
+        yaw_query = yaw_of(corrected[:4])
         rel_yaw = math.degrees(
             (yaw_query - yaw_match + math.pi) % (2 * math.pi) - math.pi
         )
@@ -659,6 +475,36 @@ class PlaceRecognition:
             return self._reject("yaw_trans", yaw=rel_yaw,
                                 trans=float(np.linalg.norm(T_21[4:7])))
         return T_12, int(out["n_inliers"]), cov
+
+    # ----------------------------------------------- batched two-phase API
+    def dispatch_verify(self, mp_q: Map, q_row: int, mp_c: Map, c_row: int):
+        """Mode-dispatching verification kickoff for the window-batched
+        drain: both modes go through their fused one-dispatch kernel.
+        Returns an opaque job or None."""
+        if self.cfg.placerec_type == "COVINS_G":
+            job = self.dispatch_verify_covins_g(mp_q, q_row, mp_c, c_row)
+            return None if job is None else ("g", job)
+        job = self.dispatch_verify_covins(mp_q, q_row, mp_c, c_row)
+        return None if job is None else ("covins", job)
+
+    def finalize_verify(self, tagged):
+        """Fetch/compute one dispatched verification.
+
+        Returns (T_12, n_inliers, cov, matches) or None."""
+        from covins_tpu.ops import loopverify
+
+        kind, job = tagged
+        if kind == "g":
+            got = self.finalize_covins_g(job)
+            if got is None:
+                return None
+            T_12, n_inl, cov = got
+            return T_12, n_inl, cov, None
+        got = loopverify.finalize_covins_verify(job)
+        if got is None:
+            return None
+        T_12, n_inl, pairs = got
+        return T_12, n_inl, None, pairs
 
     # --------------------------------------------------------------- pipeline
     def process_keyframe(self, mp: Map, kf_row: int,

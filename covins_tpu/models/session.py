@@ -114,8 +114,12 @@ class AgentSession:
                 if self.cfg.send_updates:
                     self._current_map().update_keyframe_pose(msg)
             elif isinstance(msg, msgs.MsgLandmarkUpdate):
-                # gated on `comm.send_updates` (`communicator_be.cpp:157-163`)
+                # gated on `comm.send_updates` (`communicator_be.cpp:157-163`).
+                # Flush buffered landmark inserts first: an update arriving
+                # between a landmark's creation and the next keyframe must
+                # see the row or it would be silently dropped.
                 if self.cfg.send_updates:
+                    flush_lms()
                     self._current_map().update_landmark_pos(msg)
             else:
                 raise TypeError(f"unknown message type {type(msg)}")
@@ -163,24 +167,95 @@ class AgentSession:
         return self._run_placerec(items)
 
     def _run_placerec(self, items) -> list:
+        """Window-batched detect -> verify -> apply.
+
+        The reference's PlaceRecognition thread verifies candidates one at
+        a time (`placerec_be.cpp:508-537`); over a tunneled chip the old
+        per-stage host syncs cost ~170 ms/candidate.  Here detection runs
+        sequentially on the host (consistency groups are stateful), every
+        surviving candidate's 5-stage verification is DISPATCHED
+        asynchronously (one fused device call each, `ops/loopverify.py`),
+        and results are fetched and applied in keyframe order — each fetch
+        overlaps the remaining candidates' device compute.
+
+        Sequential-semantics note: a loop accepted at keyframe i gates
+        detection for keyframes within `consecutive_loop_dist`; detection
+        ran optimistically before the verdicts, so the gate is re-applied
+        at apply time and late-gated results are discarded.
+        """
+        from covins_tpu.models.placerec import LoopResult
+
+        cfg = self.cfg
         outcomes = []
+        # Phase 1: sequential host detection + async device dispatch
+        jobs = []
         for kf_id, pre in items:
             mp = self._current_map()  # may have merged mid-window
             row = mp.kf_row(kf_id)
             if row < 0:
                 continue
-            with self.metrics.timer("placerec"):
-                loop = self.placerec.process_keyframe(mp, row, pre=pre)
-            if loop is None:
-                continue
-            outcome = self.manager.handle_loop(loop)
-            if outcome == "loop":
-                self.stats["loops"] += 1
-            elif outcome == "merge":
-                self.stats["merges"] += 1
-            if outcome in ("loop", "merge"):
-                outcomes.append(outcome)
+            dispatched = []
+            if cfg.placerec_active:
+                with self.metrics.timer("placerec_detect"):
+                    cands = self.placerec.detect_loop(mp, row, pre=pre)
+                for cand_id in cands:
+                    mp_c, c_row = self.manager.resolve(cand_id)
+                    if mp_c is None:
+                        continue
+                    job = self.placerec.dispatch_verify(mp, row, mp_c, c_row)
+                    if job is not None:
+                        dispatched.append((cand_id, mp_c, job))
+            if dispatched:
+                jobs.append((kf_id, dispatched))
+            if pre is None:
+                # non-batched path: the DB insert process_keyframe would do
+                n_feat = int(mp.kf_n_feat[row])
+                if n_feat > 0:
+                    self.placerec.db.add_keyframe(
+                        kf_id, mp.pr_descriptors(row)[:n_feat])
+        # Phase 2: in-order finalize (ONE host fetch per candidate) + apply
+        for kf_id, dispatched in jobs:
+            if (kf_id[0] - self.placerec.last_loop_kf_id
+                    < cfg.consecutive_loop_dist):
+                continue  # loop accepted earlier in this window gates this KF
+            for cand_id, mp_c_snap, job in dispatched:
+                with self.metrics.timer("placerec_verify"):
+                    got = self.placerec.finalize_verify(job)
+                if got is None:
+                    continue
+                T_12, n_inl, cov, matches = got
+                matches = self._rebind_matches(cand_id, mp_c_snap, matches)
+                self.placerec.last_loop_kf_id = kf_id[0]
+                loop = LoopResult(
+                    query_id=kf_id, candidate_id=cand_id, T_12=T_12,
+                    n_inliers=n_inl, cov=cov, matches=matches,
+                )
+                outcome = self.manager.handle_loop(loop)
+                if outcome == "loop":
+                    self.stats["loops"] += 1
+                elif outcome == "merge":
+                    self.stats["merges"] += 1
+                if outcome in ("loop", "merge"):
+                    outcomes.append(outcome)
+                break  # first accepted candidate wins (placerec_be.cpp:529)
         return outcomes
+
+    def _rebind_matches(self, cand_id, mp_c_snap, matches):
+        """Landmark rows in a verification result index the candidate map
+        AT DISPATCH TIME; if that map was merged away by an earlier loop in
+        the same window, translate rows through the stable landmark ids."""
+        if matches is None or len(matches) == 0:
+            return matches
+        mp_now, _ = self.manager.resolve(cand_id)
+        if mp_now is mp_c_snap or mp_now is None:
+            return matches
+        ids = mp_c_snap.lm_ids[matches[:, 1]]
+        rows = np.asarray([mp_now.lm_row(tuple(int(x) for x in i))
+                           for i in ids])
+        keep = rows >= 0
+        out = matches[keep].copy()
+        out[:, 1] = rows[keep]
+        return out
 
     @property
     def placerec_backlog(self) -> int:
