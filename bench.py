@@ -51,6 +51,40 @@ def build_streams():
     return world, streams
 
 
+def build_streams_cached():
+    """Build the agent message streams in a CPU-only subprocess.
+
+    Stream construction is test-data generation (per-KF eager jnp ops in
+    SyntheticAgent) — thousands of tiny dispatches that each pay the
+    tunneled-TPU round trip when run under the axon backend.  A clean
+    subprocess without the axon sitecustomize builds them at host speed
+    and ships them back via pickle; the bench process keeps the TPU for
+    the actual product path."""
+    import os
+    import pickle
+    import subprocess
+    import sys
+    import tempfile
+
+    path = tempfile.mktemp(suffix=".pkl", prefix="covins_bench_streams_")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ":".join(
+        p for p in env.get("PYTHONPATH", "").split(":")
+        if p and "axon" not in p)
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        "import pickle, sys; sys.path.insert(0, %r); import bench; "
+        "pickle.dump(bench.build_streams(), open(%r, 'wb'))"
+        % (os.path.dirname(os.path.abspath(__file__)), path)
+    )
+    subprocess.run([sys.executable, "-c", code], env=env, check=True,
+                   cwd=os.path.dirname(os.path.abspath(__file__)))
+    with open(path, "rb") as f:
+        out = pickle.load(f)
+    os.unlink(path)
+    return out
+
+
 def make_windows(streams):
     """Interleave the agent streams into drained windows, the way the
     server worker sees them: per-client message order preserved."""
@@ -229,13 +263,34 @@ def main():
     # reference overlaps its PlaceRecognition thread with ingest the same
     # way; the drain is timed and reported separately below)
     cfg.placerec_defer = True
-    world, streams = build_streams()
+    import sys as _sys0
+    print("[bench] build_streams start", file=_sys0.stderr, flush=True)
+    world, streams = build_streams_cached()
+    print("[bench] build_streams done", file=_sys0.stderr, flush=True)
     windows = make_windows(streams)
 
+    import sys as _sys
+
+    def _mark(msg):
+        print(f"[bench] {msg}", file=_sys.stderr, flush=True)
+
     # pass 1: compile warmup (all jit signatures of the steady-state path)
+    _mark("warmup pass start")
     run_pass(world, windows, cfg)
+    _mark("warmup pass done; timed pass start")
     # pass 2: timed, fresh server state, warm executables
     n_kf, t_ingest, t_placerec, manager = run_pass(world, windows, cfg)
+    _mark("timed pass done; gba leg start")
+
+    def _timed_gba():
+        out = gba_bench()
+        _mark("gba leg done; hamming A/B start")
+        return out
+
+    def _timed_hamming():
+        out = hamming_ab()
+        _mark("hamming A/B done")
+        return out
 
     ingest_kf_per_s = n_kf / t_ingest
     combined_kf_per_s = n_kf / (t_ingest + t_placerec)
@@ -265,8 +320,7 @@ def main():
             "path": "AgentSession.ingest_many (real server worker path) "
                     "+ deferred placerec drain (fused one-dispatch "
                     "verification, ops/loopverify.py)",
-            "gba": gba_bench(),
-            "hamming_ab": hamming_ab(),
+            "gba": _timed_gba(), "hamming_ab": _timed_hamming(),
         },
     }))
 

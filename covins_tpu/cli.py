@@ -54,13 +54,18 @@ def cmd_server(args):
         cfg.placerec_type = args.placerec_type
     if args.sync_placerec:
         cfg.placerec_defer = False
+    if args.placerec_off:
+        cfg.placerec_active = False
+    if args.min_loop_dist is not None:
+        cfg.min_loop_dist = args.min_loop_dist
     elif not args.config:
         # server default: placerec defers to worker-idle windows (the
         # reference's dedicated thread); YAML `placerec.defer` overrides
         cfg.placerec_defer = True
     vocab = _load_or_make_vocab(args)
     server = CovinsServer(vocab, cfg, host=args.host, port=args.port,
-                          output_dir=args.output_dir)
+                          output_dir=args.output_dir,
+                          cereal_port=args.cereal_port)
     print(f"[covins-server] listening on {args.host}:{args.port} "
           f"(placerec={cfg.placerec_type})", flush=True)
     server.run()
@@ -75,7 +80,8 @@ def cmd_agent(args):
     if args.euroc:
         from covins_tpu.agents.euroc_agent import EurocAgent
         agent = EurocAgent(args.euroc, client.client_id,
-                           max_keyframes=args.keyframes)
+                           max_keyframes=args.keyframes,
+                           pose_drift=args.drift)
     else:
         world = SyntheticWorld.create(n_landmarks=args.landmarks,
                                       seed=args.world_seed)
@@ -178,6 +184,17 @@ def main(argv=None):
     s.add_argument("--sync-placerec", action="store_true",
                    help="run place recognition inline with ingest instead "
                         "of deferred to worker-idle windows")
+    s.add_argument("--placerec-off", action="store_true",
+                   help="disable place recognition entirely "
+                        "(`placerec.active: 0` — odometry-only baseline "
+                        "for with/without-collaboration ATE comparisons)")
+    s.add_argument("--min-loop-dist", type=int,
+                   help="override placerec.min_loop_dist (candidate "
+                        "exclusion radius in keyframe ids)")
+    s.add_argument("--cereal-port", type=int, default=None,
+                   help="also listen for REFERENCE-protocol agents "
+                        "(cereal/TCP, communicator_base.cpp framing) on "
+                        "this port — stock C++ front-ends attach here")
     s.set_defaults(fn=cmd_server)
 
     a = sub.add_parser("agent", help="run a replay agent")

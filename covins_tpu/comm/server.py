@@ -42,10 +42,15 @@ class CovinsServer:
         host: str = "0.0.0.0",
         port: int = 9871,
         output_dir: str = "output",
+        cereal_port: Optional[int] = None,
     ):
         self.cfg = config or Config()
         self.host = host
         self.port = port
+        # optional second listener speaking the reference's cereal/TCP
+        # agent protocol, so stock C++ front-ends can attach unmodified
+        # (`communicator_base.cpp:276-315`; comm/cereal_bridge.py)
+        self.cereal_port = cereal_port
         self.output_dir = output_dir
         self.manager = MapManager(vocabulary, self.cfg, output_dir=output_dir)
         self.sessions: Dict[int, AgentSession] = {}
@@ -378,6 +383,36 @@ class CovinsServer:
                 pass
             writer.close()
 
+    async def _handle_cereal_conn(self, reader: asyncio.StreamReader,
+                                  writer: asyncio.StreamWriter):
+        """Reference-protocol connection: id-assignment container, then
+        framed 10x5 header containers + cereal payloads
+        (`communicator_base.cpp:41-48` handshake, `:276-315` RecvMsg)."""
+        from covins_tpu.comm import cereal_bridge as cb
+
+        client_id = self._next_client_id
+        self._next_client_id += 1
+        writer.write(cb.id_assignment(client_id))
+        await writer.drain()
+        try:
+            while True:
+                header = await reader.readexactly(cb.HEADER_BYTES)
+                total = cb.header_total(header)
+                payload = (await reader.readexactly(total)) if total else b""
+                for msg in cb.decode_container(header, payload):
+                    self._work.put(("msg", (client_id, msg), None))
+        except (asyncio.IncompleteReadError, ConnectionResetError):
+            pass  # hang-up == finish, like the reference's recv loop
+        finally:
+            done = threading.Event()
+            self._work.put(("finish", client_id, done))
+            try:
+                await asyncio.get_event_loop().run_in_executor(
+                    None, lambda: done.wait(10.0))
+            except asyncio.CancelledError:
+                pass
+            writer.close()
+
     async def _data_to_agent(self, ctx: dict, writer: asyncio.StreamWriter):
         """Periodic server->agent data at `comm.to_agent_freq` when
         `comm.data_to_client` (`communicator_be.cpp:215-231`).  `ctx` holds
@@ -418,8 +453,24 @@ class CovinsServer:
                 self._conn_tasks.discard(task)
 
         self._server = await asyncio.start_server(tracked, self.host, self.port)
+
+        async def tracked_cereal(reader, writer):
+            task = asyncio.current_task()
+            self._conn_tasks.add(task)
+            try:
+                await self._handle_cereal_conn(reader, writer)
+            finally:
+                self._conn_tasks.discard(task)
+
+        cereal_server = None
+        if self.cereal_port is not None:
+            cereal_server = await asyncio.start_server(
+                tracked_cereal, self.host, self.cereal_port)
         async with self._server:
             await self._shutdown_evt.wait()
+        if cereal_server is not None:
+            cereal_server.close()
+            await cereal_server.wait_closed()
         for t in list(self._conn_tasks):
             t.cancel()
         if self._conn_tasks:

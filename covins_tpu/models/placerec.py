@@ -500,7 +500,8 @@ class PlaceRecognition:
                 return None
             T_12, n_inl, cov = got
             return T_12, n_inl, cov, None
-        got = loopverify.finalize_covins_verify(job)
+        got = loopverify.finalize_covins_verify(
+            job, on_reject=(self._reject if self._debug else None))
         if got is None:
             return None
         T_12, n_inl, pairs = got

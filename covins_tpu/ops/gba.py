@@ -211,7 +211,8 @@ def _loop_r_J(p: GBAProblem):
 # ---------------------------------------------------------------------------
 
 
-def _gn_schur_step(p: GBAProblem, state, lam, n_cg, visual_only, huber_k=0.0):
+def _gn_schur_step(p: GBAProblem, state, lam, n_cg, visual_only, huber_k=0.0,
+                   cg_variant: str = "fused"):
     """One Levenberg-Marquardt step with Schur landmark elimination.
 
     `lam` is the adaptive Marquardt parameter (multiplies the Hessian
@@ -329,25 +330,66 @@ def _gn_schur_step(p: GBAProblem, state, lam, n_cg, visual_only, huber_k=0.0):
     def apply_M(r):
         return jnp.einsum("nij,nj->ni", M_inv, r) * free
 
-    x = jnp.zeros_like(b_red)
-    r0 = b_red
-    z0 = apply_M(r0)
+    # Chronopoulos-Gear PCG (cg_variant="fused", the default): the
+    # classic loop needs TWO dependent reduction rounds per iteration
+    # (alpha's p.Hp, then beta's r1.z1 — under GSPMD each is a separate
+    # all-reduce that serializes against the sharded matvec).  The CG-CG
+    # recurrence keeps A.p via s_i = w_i + beta_i s_{i-1}, so both
+    # scalars (gamma = r.u and delta = w.u) are computable from the SAME
+    # vectors and fuse into ONE reduction per iteration — the
+    # communication-avoiding fix named by SCALING_r04's diagnosis.
+    # Algebraically identical to classic PCG; the "classic" variant is
+    # kept for the scaling bench's collective-count A/B.
+    def safe_div(a, b):
+        return a / jnp.where(jnp.abs(b) < 1e-30, 1e-30, b)
 
-    def cg_step(carry, _):
-        x, r, z, pvec = carry
-        Hp = reduced_Hv(pvec)
-        pHp = jnp.sum(pvec * Hp)
-        rz = jnp.sum(r * z)
-        alpha = rz / jnp.where(jnp.abs(pHp) < 1e-30, 1e-30, pHp)
-        x1 = x + alpha * pvec
-        r1 = r - alpha * Hp
-        z1 = apply_M(r1)
-        beta = jnp.sum(r1 * z1) / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
-        return (x1, r1, z1, z1 + beta * pvec), None
+    if cg_variant == "classic":
+        def cg_step_classic(carry, _):
+            x, r, z, pvec = carry
+            Hp = reduced_Hv(pvec)
+            pHp = jnp.sum(pvec * Hp)
+            rz = jnp.sum(r * z)
+            alpha = safe_div(rz, pHp)
+            x1 = x + alpha * pvec
+            r1 = r - alpha * Hp
+            z1 = apply_M(r1)
+            beta = safe_div(jnp.sum(r1 * z1), rz)
+            return (x1, r1, z1, z1 + beta * pvec), None
 
-    (dx_p, _, _, _), _ = jax.lax.scan(
-        cg_step, (x, r0, z0, z0), None, length=n_cg
-    )
+        z_init = apply_M(b_red)
+        (dx_p, *_), _ = jax.lax.scan(
+            cg_step_classic,
+            (jnp.zeros_like(b_red), b_red, z_init, z_init), None,
+            length=n_cg,
+        )
+    else:
+        r0 = b_red
+        u0 = apply_M(r0)
+        w0 = reduced_Hv(u0)
+        gamma0 = jnp.sum(r0 * u0)
+        delta0 = jnp.sum(w0 * u0)
+        alpha0 = safe_div(gamma0, delta0)
+        x0 = jnp.zeros_like(b_red)
+
+        def cg_step(carry, _):
+            x, r, u, w, pvec, svec, gamma, alpha = carry
+            x1 = x + alpha * pvec
+            r1 = r - alpha * svec
+            u1 = apply_M(r1)
+            w1 = reduced_Hv(u1)            # the single matvec
+            gamma1 = jnp.sum(r1 * u1)      # fused: one reduction round
+            delta1 = jnp.sum(w1 * u1)      # for both scalars
+            beta1 = safe_div(gamma1, gamma)
+            alpha1 = safe_div(
+                gamma1, delta1 - safe_div(beta1 * gamma1, alpha))
+            p1 = u1 + beta1 * pvec
+            s1 = w1 + beta1 * svec
+            return (x1, r1, u1, w1, p1, s1, gamma1, alpha1), None
+
+        (dx_p, *_), _ = jax.lax.scan(
+            cg_step, (x0, r0, u0, w0, u0, w0, gamma0, alpha0), None,
+            length=n_cg,
+        )
     dx_p = dx_p * free
 
     # ---- cost function ------------------------------------------------------

@@ -300,23 +300,34 @@ def dispatch_covins_verify(key, mp_q, q_row: int, mp_c, c_row: int, cfg,
     meta = {"q_feats": q_feats, "c_lms": c_lms, "hood": hood,
             "nq": nq, "nc": nc, "nh": nh}
     out = {"ok": out5["ok"], "T_12": out14["T_12"],
+           "n_matched": out14["n_matched"], "n_inl2": out14["n_inl2"],
            "n_inl4": out14["n_inl4"], "midx": out14["midx"],
            "mfeat": out14["mfeat"], "hfeat": out5["hfeat"],
            "n_total": out5["n_total"]}
     return meta, out
 
 
-def finalize_covins_verify(job) -> Optional[tuple]:
+def finalize_covins_verify(job, on_reject=None) -> Optional[tuple]:
     """ONE host fetch; returns (T_12, n_inliers, pairs (M,2) int32) or None.
 
     pairs rows are (query feature idx, candidate-map landmark row) — the
     reference's mvpCurrentMatchedPoints (`placerec_be.cpp:265-282`).
+    `on_reject(stage, **counts)` is the optional debug hook (the placerec
+    COUT-diagnostics role).
     """
     if job is None:
         return None
     meta, out = job
     out = jax.device_get(out)
     if not bool(out["ok"]):
+        if on_reject is not None:
+            on_reject(
+                "covins_fused",
+                n_matched=int(out["n_matched"]),
+                n_inl2=int(out["n_inl2"]),
+                n_inl4=int(out["n_inl4"]),
+                n_total=int(out["n_total"]),
+            )
         return None
     q_feats, c_lms, hood = meta["q_feats"], meta["c_lms"], meta["hood"]
     midx = out["midx"][: meta["nq"]][: len(q_feats)]

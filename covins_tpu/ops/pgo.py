@@ -86,30 +86,45 @@ def _edge_residual_jac(poses, g: PoseGraph):
 
 
 def _pcg(Hv, b, Minv_blocks, free, n_iters: int):
-    """Block-Jacobi preconditioned CG on H x = b.  b, x: (N, 6)."""
+    """Block-Jacobi preconditioned CG on H x = b.  b, x: (N, 6).
+
+    Chronopoulos-Gear recurrence: s = H.p is carried via
+    s1 = w1 + beta*s, so the two scalars per iteration (r.u and w.u)
+    are computable together and fuse into ONE reduction round — under
+    edge-sharded GSPMD this halves the blocking all-reduces per
+    iteration vs classic PCG (see ops/gba.py for the derivation note).
+    Algebraically identical to classic PCG."""
 
     def apply_M(r):
         return jnp.einsum("nij,nj->ni", Minv_blocks, r) * free[:, None]
 
+    def safe_div(a, bb):
+        return a / jnp.where(jnp.abs(bb) < 1e-30, 1e-30, bb)
+
     x0 = jnp.zeros_like(b)
     r0 = b
-    z0 = apply_M(r0)
-    p0 = z0
+    u0 = apply_M(r0)
+    w0 = Hv(u0)
+    gamma0 = jnp.sum(r0 * u0)
+    alpha0 = safe_div(gamma0, jnp.sum(w0 * u0))
 
     def step(carry, _):
-        x, r, z, p = carry
-        Hp = Hv(p)
-        pHp = jnp.sum(p * Hp)
-        rz = jnp.sum(r * z)
-        alpha = rz / jnp.where(jnp.abs(pHp) < 1e-30, 1e-30, pHp)
+        x, r, u, w, p, s, gamma, alpha = carry
         x1 = x + alpha * p
-        r1 = r - alpha * Hp
-        z1 = apply_M(r1)
-        beta = jnp.sum(r1 * z1) / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
-        p1 = z1 + beta * p
-        return (x1, r1, z1, p1), None
+        r1 = r - alpha * s
+        u1 = apply_M(r1)
+        w1 = Hv(u1)                  # the single matvec
+        gamma1 = jnp.sum(r1 * u1)    # fused reduction round
+        delta1 = jnp.sum(w1 * u1)
+        beta1 = safe_div(gamma1, gamma)
+        alpha1 = safe_div(gamma1, delta1 - safe_div(beta1 * gamma1, alpha))
+        return (x1, r1, u1, w1, u1 + beta1 * p, w1 + beta1 * s,
+                gamma1, alpha1), None
 
-    (x, _, _, _), _ = jax.lax.scan(step, (x0, r0, z0, p0), None, length=n_iters)
+    (x, *_), _ = jax.lax.scan(
+        step, (x0, r0, u0, w0, u0, w0, gamma0, alpha0), None,
+        length=n_iters,
+    )
     return x
 
 

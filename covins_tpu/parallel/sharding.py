@@ -175,14 +175,43 @@ def pad_to_multiple(p, multiple: int):
 
 
 def gba_step_sharded(mesh: Mesh, p, state, lam, n_cg: int = 30,
-                     visual_only: bool = False):
+                     visual_only: bool = False, cg_variant: str = "fused"):
     """One LM/Schur GBA step with mesh-sharded data (GSPMD inserts the
     collectives: the per-shard partial J^T r / J^T J segment-sums reduce
     with psum — the TPU analog of Ceres' 8-thread shared-memory solve)."""
     from covins_tpu.ops import gba as gba_mod
 
     with mesh:
-        return gba_mod._gn_schur_step(p, state, lam, n_cg, visual_only)
+        return gba_mod._gn_schur_step(p, state, lam, n_cg, visual_only,
+                                      cg_variant=cg_variant)
+
+
+def count_collectives(mesh: Mesh, p, state, lam, n_cg: int = 30,
+                      cg_variant: str = "fused") -> dict:
+    """Compile the sharded GBA step and count collective ops in the
+    optimized HLO — the objective evidence for the fused-reduction CG's
+    claim (SCALING r04 diagnosis: per-iteration all-reduces dominate
+    multi-host GBA)."""
+    import jax
+
+    from covins_tpu.ops import gba as gba_mod
+
+    def step(p_, st, lam_):
+        return gba_mod._gn_schur_step(p_, st, lam_, n_cg, False,
+                                      cg_variant=cg_variant)
+
+    with mesh:
+        lowered = jax.jit(
+            step, static_argnames=()
+        ).lower(p, state, lam)
+        txt = lowered.compile().as_text()
+    return {
+        "all_reduce": txt.count("all-reduce("),
+        "all_reduce_start": txt.count("all-reduce-start("),
+        "all_gather": txt.count("all-gather("),
+        "reduce_scatter": txt.count("reduce-scatter("),
+        "collective_permute": txt.count("collective-permute("),
+    }
 
 
 def multihost_initialize(coordinator: str, num_processes: int, process_id: int):

@@ -20,6 +20,79 @@ import os
 import numpy as np
 
 
+def sample_world(
+    n_anchors: int = 30,
+    kf_dt: float = 0.5,
+    t0: float = 0.0,
+    n_landmarks: int = 400,
+    seed: int = 0,
+):
+    """Sample a renderable landmark world along the master trajectory.
+
+    Landmarks sampled INSIDE the camera frusta: random pixels at random
+    depths back-projected from poses along the trajectory (the real
+    EuRoC cam0 extrinsic does not look at the synthetic agent's cloud
+    volume — with EUROC_T_BS the optical axis is near body-z).  This
+    guarantees dozens of visible landmarks per frame and multi-view
+    tracks between temporal neighbors.  The landmark RNG is consumed
+    deterministically (seed) so sequences are reproducible.
+
+    Returns a dict to pass as `world=` to :func:`write_fake_sequence`;
+    sharing one world across sequences is what makes inter-agent loop
+    closure (and therefore map merges) possible.
+    """
+    import jax.numpy as jnp
+
+    from covins_tpu.agents.euroc_agent import (
+        EUROC_DIST, EUROC_INTRINSICS, EUROC_T_BS)
+    from covins_tpu.utils import cameras as cam_mod
+    from covins_tpu.utils import geometry as geo, npgeo, synthetic
+
+    rng = np.random.default_rng(seed)
+    traj = synthetic.generate(n_keyframes=n_anchors, kf_dt=kf_dt, t0=t0)
+    poses = np.asarray(traj.poses)
+    cam = cam_mod.Camera(
+        intrinsics=jnp.asarray(EUROC_INTRINSICS, jnp.float64),
+        dist=jnp.asarray(EUROC_DIST, jnp.float64),
+        T_s_c=jnp.asarray(npgeo.pose_identity()),
+        cam_model=cam_mod.PINHOLE, dist_model=cam_mod.RADTAN,
+    )
+    T_s_c = np.asarray(
+        geo.pose_from_matrix(jnp.asarray(EUROC_T_BS, jnp.float64))
+    )
+    lms = []
+    quad_u, quad_v = [], []  # in-plane world axes per landmark
+    per_frame = max(2, n_landmarks // n_anchors)
+    for k in range(n_anchors):
+        T_w_cam_k = npgeo.pose_compose(poses[k], T_s_c)
+        R_w_cam = npgeo.quat_to_matrix(T_w_cam_k[:4])
+        px = rng.uniform([60, 60], [692, 420], (per_frame, 2))
+        depth = rng.uniform(4.0, 14.0, per_frame)
+        bear = np.asarray(
+            cam_mod.back_project3(cam, jnp.asarray(px, jnp.float64))
+        )
+        p_cam = bear * (depth / bear[:, 2])[:, None]
+        lms.append(npgeo.pose_apply(T_w_cam_k, p_cam))
+        # quad plane: camera-facing at the anchor view, metric size such
+        # that it appears ~P px there
+        half = depth * (0.5 * 33) / float(EUROC_INTRINSICS[0])
+        for h in half:
+            quad_u.append(R_w_cam[:, 0] * h)
+            quad_v.append(R_w_cam[:, 1] * h)
+    lms = np.concatenate(lms)[:n_landmarks]
+    quad_u = np.asarray(quad_u)[:n_landmarks]
+    quad_v = np.asarray(quad_v)[:n_landmarks]
+
+    # fixed texture per landmark (stable ORB descriptors across views).
+    # Patch must EXCEED ORB's 31-px BRIEF sampling window, or every
+    # descriptor is dominated by the patch-vs-background edge and all
+    # landmarks collide (measured: 97/115 wrong matches at 11 px).
+    P = 33
+    patches = rng.integers(40, 255, (len(lms), P, P)).astype(np.uint8)
+    return {"lms": lms, "quad_u": quad_u, "quad_v": quad_v,
+            "patches": patches}
+
+
 def write_fake_sequence(
     out_dir: str,
     n_keyframes: int = 30,
@@ -28,8 +101,13 @@ def write_fake_sequence(
     t0: float = 0.0,
     seed: int = 0,
     imu_rate: float = 200.0,
+    world: dict | None = None,
 ):
-    """Write `<out_dir>/mav0/...`; returns out_dir."""
+    """Write `<out_dir>/mav0/...`; returns out_dir.
+
+    `world` (from :func:`sample_world`) shares one landmark/texture set
+    across sequences so multiple agents see the SAME scene — the
+    precondition for inter-agent loop closure and map merges."""
     import jax
     import jax.numpy as jnp
 
@@ -55,44 +133,14 @@ def write_fake_sequence(
         geo.pose_from_matrix(jnp.asarray(EUROC_T_BS, jnp.float64))
     )
 
-    # Landmarks sampled INSIDE the camera frusta: random pixels at random
-    # depths back-projected from poses along the trajectory (the real
-    # EuRoC cam0 extrinsic does not look at the synthetic agent's cloud
-    # volume — with EUROC_T_BS the optical axis is near body-z).  This
-    # guarantees dozens of visible landmarks per frame and multi-view
-    # tracks between temporal neighbors.  The landmark RNG is consumed
-    # deterministically (seed) so sequences are reproducible.
-    lms = []
-    quad_u, quad_v = [], []  # in-plane world axes per landmark
-    per_frame = max(2, n_landmarks // n_keyframes)
-    for k in range(n_keyframes):
-        anchor = k
-        T_w_cam_k = npgeo.pose_compose(poses[anchor], T_s_c)
-        R_w_cam = npgeo.quat_to_matrix(T_w_cam_k[:4])
-        px = rng.uniform([60, 60], [692, 420], (per_frame, 2))
-        depth = rng.uniform(4.0, 14.0, per_frame)
-        bear = np.asarray(
-            cam_mod.back_project3(cam, jnp.asarray(px, jnp.float64))
-        )
-        p_cam = bear * (depth / bear[:, 2])[:, None]
-        lms.append(npgeo.pose_apply(T_w_cam_k, p_cam))
-        # quad plane: camera-facing at the anchor view, metric size such
-        # that it appears ~P px there
-        half = depth * (0.5 * 33) / float(EUROC_INTRINSICS[0])
-        for h in half:
-            quad_u.append(R_w_cam[:, 0] * h)
-            quad_v.append(R_w_cam[:, 1] * h)
-    lms = np.concatenate(lms)[:n_landmarks]
-    quad_u = np.asarray(quad_u)[:n_landmarks]
-    quad_v = np.asarray(quad_v)[:n_landmarks]
+    if world is None:
+        world = sample_world(n_anchors=n_keyframes, kf_dt=kf_dt, t0=t0,
+                             n_landmarks=n_landmarks, seed=seed)
+    lms = world["lms"]
+    quad_u, quad_v = world["quad_u"], world["quad_v"]
+    patches = world["patches"]
     n_landmarks = len(lms)
-
-    # fixed texture per landmark (stable ORB descriptors across views).
-    # Patch must EXCEED ORB's 31-px BRIEF sampling window, or every
-    # descriptor is dominated by the patch-vs-background edge and all
-    # landmarks collide (measured: 97/115 wrong matches at 11 px).
-    P = 33
-    patches = rng.integers(40, 255, (n_landmarks, P, P)).astype(np.uint8)
+    P = patches.shape[1]
 
     mav0 = os.path.join(out_dir, "mav0")
     img_dir = os.path.join(mav0, "cam0", "data")
