@@ -194,6 +194,7 @@ class EurocAgent:
         k = 0
         last_pose = None
         drift_pose = None
+        self._drift_bias = np.zeros(6)
 
         for t_ns, fname in frames:
             if not (t0_gt <= t_ns <= t1_gt):
@@ -215,10 +216,19 @@ class EurocAgent:
             last_pose = pose_gt
 
             # odometry pose: GT, optionally drifted (right-perturbed
-            # relative pose re-chained onto the drifted trajectory)
+            # relative pose re-chained onto the drifted trajectory).
+            # The per-KF error is white noise PLUS a slowly-wandering
+            # bias (a random walk on the bias itself): real VIO drift is
+            # a slowly varying yaw/scale error, which neither cancels
+            # over loops of a periodic trajectory (a CONSTANT bias does)
+            # nor disappears under the evaluation's Sim(3) alignment (a
+            # pure zero-mean walk largely does).
             if self.pose_drift > 0 and drift_pose is not None:
                 rel = npgeo.pose_relative(prev[3], pose_gt)
-                noise = self.rng.normal(0.0, self.pose_drift, 6)
+                self._drift_bias += self.rng.normal(
+                    0.0, 0.3 * self.pose_drift, 6)
+                noise = self.rng.normal(0.0, 0.5 * self.pose_drift, 6) \
+                    + self._drift_bias
                 noise[:3] *= 0.2
                 dq = npgeo.quat_exp(noise[:3])
                 rel = np.concatenate([

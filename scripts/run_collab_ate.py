@@ -153,6 +153,9 @@ def run_once(seqs, out, port, drift, placerec_on, min_loop_dist, env,
             return ate
 
         report = {}
+        # barrier: agents' finish work (drain + trajectory write) queues
+        # in the server worker; a stats round-trip serializes behind it
+        admin("stats")
         # ATE right after the agents finish: loop corrections + PGO only
         report["ate"] = eval_ate()
         if placerec_on:
