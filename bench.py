@@ -171,15 +171,11 @@ def hamming_ab(rows: int = 65536, cols: int = 1024):
 
     matmul_fn = jax.jit(lambda x, y: d_ops.hamming_distance(x, y, jnp.bfloat16))
     t_matmul = timeit(matmul_fn)
-    result = {"shape": [rows, cols, 256],
-              "unpack_matmul_ms": round(1e3 * t_matmul, 3)}
-    if jax.default_backend() == "tpu":
-        from covins_tpu.ops import hamming_pallas as hp
-
-        t_pallas = timeit(jax.jit(hp.hamming_distance_auto))
-        result["pallas_packed_ms"] = round(1e3 * t_pallas, 3)
-        result["pallas_speedup"] = round(t_matmul / t_pallas, 2)
-    return result
+    return {"shape": [rows, cols, 256],
+            "unpack_matmul_ms": round(1e3 * t_matmul, 3),
+            "decision": "pallas packed kernel DELETED in r5: 1.01x at "
+                        "this shape (3.187 vs 3.230 ms, BENCH r5 A/B); "
+                        "dispatcher uses the unpack-matmul unconditionally"}
 
 
 def gba_bench():

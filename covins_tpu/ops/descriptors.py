@@ -56,25 +56,21 @@ def hamming_distance(a_u8, b_u8, dtype=jnp.float32):
 
 
 def hamming_distance_best(a_u8, b_u8, dtype=jnp.bfloat16):
-    """Backend-dispatching Hamming distance for the PRODUCT hot paths
-    (vocabulary assignment, retrieval-database scoring, dense matching).
+    """Hamming distance for the PRODUCT hot paths (vocabulary assignment,
+    retrieval-database scoring, dense matching): the unpack-±1 bf16
+    matmul, unconditionally.
 
-    On TPU with MXU-sized operands this uses the Pallas packed-descriptor
-    kernel (`ops/hamming_pallas.py`): descriptors stay packed in HBM (32 B
-    instead of 256/512 B unpacked) and are expanded to ±1 tiles in VMEM,
-    saving 8x HBM traffic on the large operand.  Everywhere else (CPU
-    tests, small blocks) it falls back to the unpack-±1 matmul, which XLA
-    fuses well at small sizes.
+    A Pallas packed-descriptor kernel (keep descriptors packed in HBM,
+    unpack to ±1 tiles in VMEM, contract on the MXU) was A/B-tested
+    against this path for three rounds and DELETED in round 5: at the
+    retrieval-realistic 65536x1024x256-bit shape it measured 3.19 ms vs
+    3.23 ms (1.01x, BENCH_r05) — XLA's own unpack+matmul fusion already
+    covers the traffic the kernel was built to save, and the kernel added
+    a compile-churn surface for no win.  If a future shape regime makes
+    packed HBM residency matter (databases >> VMEM), revisit with a
+    fused unpack+popcount+top-k design rather than a distance-matrix
+    kernel (see BENCH_r04/r05 hamming_ab for the evidence trail).
     """
-    m, n = a_u8.shape[0], b_u8.shape[0]
-    if (
-        jax.default_backend() == "tpu"
-        and a_u8.dtype == jnp.uint8
-        and m * n >= 256 * 512
-    ):
-        from covins_tpu.ops import hamming_pallas as hp
-
-        return hp.hamming_distance_auto(a_u8, b_u8)
     return hamming_distance(a_u8, b_u8, dtype=dtype)
 
 

@@ -161,6 +161,9 @@ def run_once(seqs, out, port, drift, placerec_on, min_loop_dist, env,
         if placerec_on:
             stats = json.loads(admin("stats")).get("result", {})
             for mid in stats.get("maps", {}):
+                # snapshot the merged pre-GBA map for offline analysis
+                admin("savemap", "--map-id", str(mid), "--path",
+                      os.path.join(out, f"map_pre_gba_{mid}.npz"))
                 report[f"gba_map_{mid}"] = json.loads(admin(
                     "gba", "--map-id", str(mid),
                     "--time-budget", str(gba_budget)))

@@ -3,7 +3,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from covins_tpu.ops import descriptors as desc
-from covins_tpu.ops import hamming_pallas as hp
 
 
 def rand_desc(key, n, nbytes=32):
@@ -41,11 +40,6 @@ class TestHamming:
             desc.hamming_distance(a, b, dtype=jnp.bfloat16), np_hamming(a, b)
         )
 
-    def test_pallas_kernel_interpret(self):
-        a = rand_desc(jax.random.PRNGKey(7), 300)
-        b = rand_desc(jax.random.PRNGKey(8), 700)
-        d = hp.hamming_distance_auto(a, b, block_m=256, block_n=512)
-        np.testing.assert_array_equal(d, np_hamming(a, b))
 
 
 class TestL2:
