@@ -204,11 +204,21 @@ def write_fake_sequence(
     imu_rows = ["#timestamp [ns],w_RS_S_x [rad s^-1],w_RS_S_y,w_RS_S_z,"
                 "a_RS_S_x [m s^-2],a_RS_S_y,a_RS_S_z"]
     for k in range(acc.shape[0]):
-        t = float(traj.times[k])
-        for s in range(acc.shape[1]):
-            t += float(dts[k, s])
+        # INTEGER stamp arithmetic anchored at the keyframe stamp: float
+        # accumulation + int() truncation makes late-sequence boundary
+        # samples swap keyframe windows after replay slicing, which
+        # corrupts the preintegration intervals (measured up to 0.7 m of
+        # forward-prediction error per 0.1 s interval near sequence end)
+        t_ns = int(times_ns[k])
+        n_s = acc.shape[1]
+        for s in range(n_s):
+            t_ns += int(round(float(dts[k, s]) * 1e9))
+            if s == n_s - 1:
+                # pin the boundary sample exactly onto the next keyframe
+                # stamp so window slicing is exact
+                t_ns = int(times_ns[k + 1])
             imu_rows.append(
-                f"{int(t * 1e9)},{gyro[k, s, 0]},{gyro[k, s, 1]},"
+                f"{t_ns},{gyro[k, s, 0]},{gyro[k, s, 1]},"
                 f"{gyro[k, s, 2]},{acc[k, s, 0]},{acc[k, s, 1]},{acc[k, s, 2]}"
             )
     with open(os.path.join(mav0, "imu0", "data.csv"), "w") as f:
