@@ -35,6 +35,8 @@ class MapManager:
         self.n_merges = 0
         self.n_loops = 0
         self.n_fused = 0  # landmarks deduplicated by loop fusion
+        # map id -> PGO pose seed for loops applied with defer_pgo=True
+        self.pending_pgo: Dict[int, Optional[np.ndarray]] = {}
         # when set, maps write trajectories every 50 KFs (`map_be.cpp:391-395`)
         self.output_dir = output_dir
 
@@ -99,11 +101,18 @@ class MapManager:
         return None, -1
 
     # --------------------------------------------------------------- loops
-    def handle_loop(self, loop: LoopResult) -> str:
+    def handle_loop(self, loop: LoopResult, defer_pgo: bool = False) -> str:
         """`CorrectLoop` (`placerec_be.cpp:287-344`): same map -> fuse
         duplicated landmarks, add the constraint, seed PGO with corrected
         poses; different maps -> merge.  Returns 'loop' | 'merge' |
-        'ignored'."""
+        'ignored'.
+
+        ``defer_pgo`` records the PGO seed in `pending_pgo` instead of
+        solving immediately — the window-batched drain closes several
+        loops per drain and one PGO over the final constraint set equals
+        N intermediate solves (the constraints accumulate in the map;
+        only the seed of the LAST correction is kept).  Callers run
+        :meth:`flush_pending_pgo` at window end."""
         mp_q, q_row = self.resolve(loop.query_id)
         mp_c, c_row = self.resolve(loop.candidate_id)
         if mp_q is None or mp_c is None:
@@ -121,10 +130,26 @@ class MapManager:
                                      cov=loop.cov)
             self.n_loops += 1
             if self.cfg.perform_pgo:
-                self.run_pgo(mp_q, poses_init=corrected)
+                if defer_pgo:
+                    self.pending_pgo[mp_q.id] = corrected
+                else:
+                    self.run_pgo(mp_q, poses_init=corrected)
             return "loop"
-        self.perform_merge(mp_q, q_row, mp_c, c_row, loop)
+        self.perform_merge(mp_q, q_row, mp_c, c_row, loop,
+                           defer_pgo=defer_pgo)
         return "merge"
+
+    def flush_pending_pgo(self):
+        """Run the deferred PGO solves queued by
+        ``handle_loop(defer_pgo=True)`` — one per affected map."""
+        pending, self.pending_pgo = self.pending_pgo, {}
+        for mid, seed in pending.items():
+            mp = self.maps.get(mid)
+            if mp is None:
+                continue  # merged away; the target map has its own entry
+            if seed is not None and len(seed) != mp.n_kf:
+                seed = None  # map grew/merged since the seed was taken
+            self.run_pgo(mp, poses_init=seed)
 
     def _corrected_poses(self, mp: Map, q_row: int, c_row: int,
                          T_12: np.ndarray) -> np.ndarray:
@@ -194,7 +219,7 @@ class MapManager:
         return np.asarray(loop.T_12, np.float64)
 
     def perform_merge(self, mp_q: Map, q_row: int, mp_c: Map, c_row: int,
-                      loop: LoopResult):
+                      loop: LoopResult, defer_pgo: bool = False):
         """`MapManager::PerformMerge` (`map_be.cpp:192-244`): fuse the
         query's map into the candidate's map with
         ``T_wc_wq = T_wc_sc * T_12^-1 * T_sq_wq``."""
@@ -219,10 +244,15 @@ class MapManager:
         for cid in list(mp_q.associated_clients):
             self.map_of_client[cid] = mp_c.id
         self.maps.pop(mp_q.id, None)
+        # a pending seed for the absorbed map no longer applies
+        self.pending_pgo.pop(mp_q.id, None)
         self.n_merges += 1
         self.n_loops += 1
         if self.cfg.perform_pgo:
-            self.run_pgo(mp_c)
+            if defer_pgo:
+                self.pending_pgo[mp_c.id] = None
+            else:
+                self.run_pgo(mp_c)
 
     def replay_placerec(self, mp: Map, perform_pgo: bool = True) -> dict:
         """Replay a LOADED map's keyframes through place recognition

@@ -52,15 +52,28 @@ class LoopResult:
     matches: Optional[np.ndarray] = None  # (M, 2) int32
 
 
+_CAM_CACHE: dict = {}
+
+
 def _camera_of(mp: Map, client_id: int) -> cam_mod.Camera:
+    """Device-resident Camera per calibration object.  Cached so repeated
+    verifications ship ZERO calibration bytes over the (tunneled) device
+    link — each pytree leaf would otherwise be its own transfer RPC.  The
+    cache holds a strong reference to the calibration, so the id() key
+    cannot be re-used while the entry lives."""
     calib = mp.calib[client_id]
-    return cam_mod.Camera(
+    hit = _CAM_CACHE.get(id(calib))
+    if hit is not None and hit[0] is calib:
+        return hit[1]
+    cam = cam_mod.Camera(
         intrinsics=jnp.asarray(calib.intrinsics, jnp.float64),
         dist=jnp.asarray(calib.dist, jnp.float64),
         T_s_c=jnp.asarray(calib.T_s_c, jnp.float64),
         cam_model=calib.cam_model,
         dist_model=calib.dist_model,
     )
+    _CAM_CACHE[id(calib)] = (calib, cam)
+    return cam
 
 
 def _temporal_neighbors(mp: Map, row: int, k: int = 10) -> np.ndarray:

@@ -230,7 +230,12 @@ class AgentSession:
                     query_id=kf_id, candidate_id=cand_id, T_12=T_12,
                     n_inliers=n_inl, cov=cov, matches=matches,
                 )
-                outcome = self.manager.handle_loop(loop)
+                # PGO is deferred to one solve per affected map at window
+                # end: the constraints accumulate in the map, so N
+                # intermediate solves equal the final one — this drops the
+                # drain's dominant cost (measured ~2 s per on-chip PGO,
+                # once per accepted loop)
+                outcome = self.manager.handle_loop(loop, defer_pgo=True)
                 if outcome == "loop":
                     self.stats["loops"] += 1
                 elif outcome == "merge":
@@ -238,6 +243,8 @@ class AgentSession:
                 if outcome in ("loop", "merge"):
                     outcomes.append(outcome)
                 break  # first accepted candidate wins (placerec_be.cpp:529)
+        with self.metrics.timer("placerec_pgo"):
+            self.manager.flush_pending_pgo()
         return outcomes
 
     def _rebind_matches(self, cand_id, mp_c_snap, matches):

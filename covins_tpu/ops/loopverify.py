@@ -45,8 +45,7 @@ from covins_tpu.utils import cameras as cam_mod
 from covins_tpu.utils import geometry as geo
 
 
-@partial(jax.jit, static_argnames=("n_hyp", "th_outlier_align"))
-def _covins_stage14_impl(
+def _covins_stage14_body(
     key,
     cam_q: cam_mod.Camera,
     cam_c: cam_mod.Camera,
@@ -150,8 +149,7 @@ def _covins_stage14_impl(
     }
 
 
-@jax.jit
-def _covins_stage5_impl(
+def _covins_stage5_body(
     cam_q: cam_mod.Camera,
     T_12,            # (7,) refined relative pose from stage 4
     T_wc_sc,         # (7,) candidate body pose in candidate world
@@ -194,6 +192,94 @@ def _pad_rows(a: np.ndarray, base: int):
     out = np.zeros((b,) + a.shape[1:], a.dtype)
     out[:n] = a
     return out, n
+
+
+# ---------------------------------------------------------------------------
+# Packed entry points: over a tunneled chip every host->device transfer is
+# its own RPC (~3-5 ms), and the naive dispatch shipped ~30 arrays per
+# candidate — more wall-clock than the kernels themselves.  The host packs
+# everything into FOUR typed blobs (f64 / u8 / i32 / bool); the jitted
+# wrappers slice them back out (free on device).  Config thresholds are
+# STATIC: they are per-run constants, so baking them into the executable
+# removes another ~10 scalar transfers per candidate without recompiles.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=(
+    "F", "C", "min_matches", "desc_max_dist", "thr2_rad",
+    "ransac_min_inliers", "radius_se3", "img_w", "img_h", "inliers_thres",
+    "th_outlier_align", "n_hyp"))
+def _covins_stage14_packed(
+    key, cam_q, cam_c, fblob, u8blob, iblob, bblob,
+    F: int, C: int,
+    min_matches: int, desc_max_dist: float, thr2_rad: float,
+    ransac_min_inliers: int, radius_se3: float, img_w: float, img_h: float,
+    inliers_thres: int, th_outlier_align: float, n_hyp: int,
+):
+    o = [0]
+
+    def take(n, shape=None):
+        v = jax.lax.dynamic_slice_in_dim(fblob, o[0], n)
+        o[0] += n
+        return v.reshape(shape) if shape else v
+
+    q_obs_uv = take(2 * F, (F, 2))
+    q_obs_lm_body = take(3 * F, (F, 3))
+    c_lm_w = take(3 * C, (C, 3))
+    c_lm_body = take(3 * C, (C, 3))
+    c_lm_normal = take(3 * C, (C, 3))
+    c_lm_rng = take(2 * C, (C, 2))
+    kp_uv = take(2 * F, (F, 2))
+    kp_oct = take(F)
+    q_feat_lm_body = take(3 * F, (F, 3))
+    T_wc_sc = take(7)
+    q_obs_desc, c_obs_desc = u8blob[:F], u8blob[F:F + C]
+    c_lm_desc, kp_desc = u8blob[F + C:F + 2 * C], u8blob[F + 2 * C:]
+    q_obs_feat, c_lm_row = iblob[:F], iblob[F:]
+    q_obs_valid, c_obs_valid = bblob[:F], bblob[F:F + C]
+    c_lm_alive = bblob[F + C:F + 2 * C]
+    kp_valid = bblob[F + 2 * C:2 * F + 2 * C]
+    q_feat_has_lm = bblob[2 * F + 2 * C:]
+    return _covins_stage14_body(
+        key, cam_q, cam_c,
+        q_obs_desc, q_obs_uv, q_obs_feat, q_obs_lm_body, q_obs_valid,
+        c_obs_desc, c_obs_valid,
+        c_lm_w, c_lm_body, c_lm_desc, c_lm_normal, c_lm_rng, c_lm_alive,
+        c_lm_row,
+        kp_uv, kp_desc, kp_oct, kp_valid, q_feat_lm_body, q_feat_has_lm,
+        T_wc_sc,
+        min_matches, desc_max_dist, thr2_rad, ransac_min_inliers,
+        radius_se3, img_w, img_h, inliers_thres, th_outlier_align,
+        n_hyp=n_hyp,
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "F", "C", "H", "desc_max_dist", "radius_proj", "img_w", "img_h",
+    "total_matches_thres"))
+def _covins_stage5_packed(
+    cam_q, T_12, ok14, n_matched, n_ext, pair_crow, taken_q5,
+    fblob, u8blob, bblob,           # the stage-14 blobs (device-resident)
+    hfblob, hu8blob, hiblob, hbblob,  # hood blobs
+    F: int, C: int, H: int,
+    desc_max_dist: float, radius_proj: float, img_w: float, img_h: float,
+    total_matches_thres: int,
+):
+    base = 2 * F + 3 * F + 3 * C + 3 * C + 3 * C + 2 * C
+    kp_uv = jax.lax.dynamic_slice_in_dim(fblob, base, 2 * F).reshape(F, 2)
+    kp_oct = jax.lax.dynamic_slice_in_dim(fblob, base + 2 * F, F)
+    T_wc_sc = jax.lax.dynamic_slice_in_dim(
+        fblob, base + 2 * F + F + 3 * F, 7)
+    kp_desc = u8blob[F + 2 * C:]
+    kp_valid = bblob[F + 2 * C:2 * F + 2 * C]
+    hood_lm_w = hfblob[:3 * H].reshape(H, 3)
+    hood_normal = hfblob[3 * H:6 * H].reshape(H, 3)
+    hood_rng = hfblob[6 * H:].reshape(H, 2)
+    return _covins_stage5_body(
+        cam_q, T_12, T_wc_sc, ok14, n_matched + n_ext, pair_crow, taken_q5,
+        hood_lm_w, hu8blob, hood_normal, hood_rng, hbblob, hiblob,
+        kp_uv, kp_desc, kp_oct, kp_valid,
+        desc_max_dist, radius_proj, img_w, img_h, total_matches_thres,
+    )
 
 
 def dispatch_covins_verify(key, mp_q, q_row: int, mp_c, c_row: int, cfg,
@@ -255,47 +341,65 @@ def dispatch_covins_verify(key, mp_q, q_row: int, mp_c, c_row: int, cfg,
     qlb, _ = _pad_rows(q_lm_body, F)
     clb, _ = _pad_rows(c_lm_body_, Fc)
 
-    kp_uv = jnp.asarray(mp_q.kp_uv[q_row], jnp.float64)
-    kp_desc = jnp.asarray(mp_q.descriptors[q_row])
-    kp_oct = jnp.asarray(mp_q.kp_aors[q_row, :, 1], jnp.float64)
-    kp_valid = jnp.asarray(np.arange(F) < int(mp_q.kf_n_feat[q_row]))
-    T_wc_sc = jnp.asarray(mp_c.kf_pose[c_row])
+    # pack everything into four typed blobs: ONE transfer RPC each over
+    # the tunnel instead of ~30 (see the packed entry points above)
+    fblob = jnp.asarray(np.concatenate([
+        mp_q.kp_uv[q_row, qp].reshape(-1).astype(np.float64),
+        qlb.reshape(-1),
+        mp_c.lm_pos[cp].reshape(-1),
+        clb.reshape(-1),
+        mp_c.lm_normal[cp].reshape(-1),
+        mp_c.lm_dist_rng[cp].reshape(-1),
+        mp_q.kp_uv[q_row].reshape(-1).astype(np.float64),
+        mp_q.kp_aors[q_row, :, 1].astype(np.float64),
+        q_feat_lm_body.reshape(-1),
+        mp_c.kf_pose[c_row],
+    ]))
+    u8blob = jnp.asarray(np.concatenate([
+        mp_q.descriptors[q_row, qp],
+        mp_c.descriptors[c_row, cfp],
+        mp_c.lm_desc[cp],
+        mp_q.descriptors[q_row],
+    ]))
+    iblob = jnp.asarray(np.concatenate([qp, cp.astype(np.int32)]))
+    bblob = jnp.asarray(np.concatenate([
+        q_valid, c_valid, mp_c.lm_mask[cp] & c_valid,
+        np.arange(F) < int(mp_q.kf_n_feat[q_row]),
+        q_feat_has_lm,
+    ]))
 
-    out14 = _covins_stage14_impl(
-        key, cam_q, cam_c,
-        jnp.asarray(mp_q.descriptors[q_row, qp]),
-        jnp.asarray(mp_q.kp_uv[q_row, qp], jnp.float64),
-        jnp.asarray(qp), jnp.asarray(qlb), jnp.asarray(q_valid),
-        jnp.asarray(mp_c.descriptors[c_row, cfp]), jnp.asarray(c_valid),
-        jnp.asarray(mp_c.lm_pos[cp]), jnp.asarray(clb),
-        jnp.asarray(mp_c.lm_desc[cp]), jnp.asarray(mp_c.lm_normal[cp]),
-        jnp.asarray(mp_c.lm_dist_rng[cp]),
-        jnp.asarray(mp_c.lm_mask[cp] & c_valid),
-        jnp.asarray(cp.astype(np.int32)),
-        kp_uv, kp_desc, kp_oct, kp_valid,
-        jnp.asarray(q_feat_lm_body), jnp.asarray(q_feat_has_lm),
-        T_wc_sc,
-        min(thres, 8), float(cfg.desc_matching_th_low),
-        float(np.arctan2(cfg.ransac_class_threshold, focal)),
-        cfg.ransac_min_inliers,
-        float(cfg.search_radius_SE3),
-        float(calib_q.img_w), float(calib_q.img_h),
-        cfg.inliers_thres,
+    out14 = _covins_stage14_packed(
+        key, cam_q, cam_c, fblob, u8blob, iblob, bblob,
+        F=F, C=Fc,
+        min_matches=min(thres, 8),
+        desc_max_dist=float(cfg.desc_matching_th_low),
+        thr2_rad=float(np.arctan2(cfg.ransac_class_threshold, focal)),
+        ransac_min_inliers=cfg.ransac_min_inliers,
+        radius_se3=float(cfg.search_radius_SE3),
+        img_w=float(calib_q.img_w), img_h=float(calib_q.img_h),
+        inliers_thres=cfg.inliers_thres,
         th_outlier_align=float(cfg.th_outlier_align),
         n_hyp=min(cfg.ransac_max_iterations, 512),
     )
-    out5 = _covins_stage5_impl(
-        cam_q, out14["T_12"], T_wc_sc,
-        out14["ok14"], out14["n_matched"] + out14["n_ext"],
+    H = len(hp)
+    hfblob = jnp.asarray(np.concatenate([
+        mp_c.lm_pos[hp].reshape(-1),
+        mp_c.lm_normal[hp].reshape(-1),
+        mp_c.lm_dist_rng[hp].reshape(-1),
+    ]))
+    out5 = _covins_stage5_packed(
+        cam_q, out14["T_12"],
+        out14["ok14"], out14["n_matched"], out14["n_ext"],
         out14["pair_crow"], out14["taken_q5"],
-        jnp.asarray(mp_c.lm_pos[hp]), jnp.asarray(mp_c.lm_desc[hp]),
-        jnp.asarray(mp_c.lm_normal[hp]), jnp.asarray(mp_c.lm_dist_rng[hp]),
-        jnp.asarray(mp_c.lm_mask[hp] & h_valid),
+        fblob, u8blob, bblob,
+        hfblob, jnp.asarray(mp_c.lm_desc[hp]),
         jnp.asarray(hp.astype(np.int32)),
-        kp_uv, kp_desc, kp_oct, kp_valid,
-        float(cfg.desc_matching_th_low), float(cfg.search_radius_proj),
-        float(calib_q.img_w), float(calib_q.img_h),
-        cfg.total_matches_thres,
+        jnp.asarray(mp_c.lm_mask[hp] & h_valid),
+        F=F, C=Fc, H=H,
+        desc_max_dist=float(cfg.desc_matching_th_low),
+        radius_proj=float(cfg.search_radius_proj),
+        img_w=float(calib_q.img_w), img_h=float(calib_q.img_h),
+        total_matches_thres=cfg.total_matches_thres,
     )
     meta = {"q_feats": q_feats, "c_lms": c_lms, "hood": hood,
             "nq": nq, "nc": nc, "nh": nh}

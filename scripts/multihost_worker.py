@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--db-rows", type=int, default=8192)
     ap.add_argument("--queries", type=int, default=256)
     ap.add_argument("--out", default="")
+    ap.add_argument("--cg-variant", default="fused",
+                    choices=["fused", "classic"],
+                    help="PCG recurrence: Chronopoulos-Gear fused "
+                         "reductions (default) vs classic two-round")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -75,13 +79,15 @@ def main():
     state = (p.poses, p.vels, p.biases, p.lms)
     lam = jnp.asarray(1e-4, p.poses.dtype)
 
-    out = sh.gba_step_sharded(mesh, p, state, lam, n_cg=20)
+    out = sh.gba_step_sharded(mesh, p, state, lam, n_cg=20,
+                              cg_variant=args.cg_variant)
     jax.block_until_ready(out)
     if args.num_processes > 1:
         multihost_utils.sync_global_devices("gba_warm")
     t0 = time.perf_counter()
     for _ in range(args.steps):
-        out = sh.gba_step_sharded(mesh, p, state, lam, n_cg=20)
+        out = sh.gba_step_sharded(mesh, p, state, lam, n_cg=20,
+                              cg_variant=args.cg_variant)
         jax.block_until_ready(out)
     if args.num_processes > 1:
         multihost_utils.sync_global_devices("gba_done")
@@ -126,6 +132,7 @@ def main():
             "num_processes": args.num_processes,
             "devices_per_host": args.devices_per_host,
             "total_devices": n_total,
+            "cg_variant": args.cg_variant,
             "gba": {
                 "n_kf": args.n_kf, "n_lm": args.n_lm, "n_obs": n_obs,
                 "step_ms": round(1e3 * gba_step_s, 2),

@@ -70,11 +70,19 @@ def main():
                          "cores (0 = no pinning)")
     ap.add_argument("--quick", action="store_true",
                     help="smaller problem (CI lane)")
+    ap.add_argument("--cg-variant", default="fused",
+                    choices=["fused", "classic"],
+                    help="PCG recurrence A/B (SCALING r05)")
+    ap.add_argument("--steps", type=int, default=0,
+                    help="override worker GN-step count")
     ap.add_argument("--out", default="MULTIHOST.json")
     args = ap.parse_args()
 
     extra = (["--n-kf", "32", "--n-lm", "1024", "--steps", "5"]
              if args.quick else [])
+    extra += ["--cg-variant", args.cg_variant]
+    if args.steps:
+        extra += ["--steps", str(args.steps)]
     results = {}
     for n in args.process_counts:
         print(f"--- running N={n} processes ---", flush=True)
